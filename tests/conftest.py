@@ -1,0 +1,12 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices so
+multi-chip sharding tests run anywhere (the reference has no distributed
+test harness; SURVEY.md section 4 prescribes host-count emulation)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
