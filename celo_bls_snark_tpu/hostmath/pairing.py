@@ -90,6 +90,23 @@ def final_exponentiation(f):
     return fq12.pow_(f, _HARD_EXP)
 
 
+def final_exponentiation_3d(f):
+    """f^(3*(p^12-1)/r) via the addition chain the device kernels use:
+    hard exponent 3*(p^4-p^2+1)/r = (x-1)^2 (x+p) (x^2+p^2-1) + 3.
+    The cofactor 3 (coprime to r) does not affect ==1 checks; this is the
+    oracle for ops/pairing.py::final_exponentiation."""
+    f = fq12.mul(fq12.conj(f), fq12.inv(f))
+    f = fq12.mul(fq12.frob_n(f, 2), f)
+    m = f
+    t0 = fq12.pow_(fq12.pow_(m, X - 1), X - 1)
+    t1 = fq12.mul(fq12.pow_(t0, X), fq12.frob(t0))
+    t2 = fq12.mul(
+        fq12.mul(fq12.pow_(fq12.pow_(t1, X), X), fq12.frob_n(t1, 2)),
+        fq12.conj(t1),
+    )
+    return fq12.mul(t2, fq12.mul(fq12.sq(m), m))
+
+
 def pairing(p_aff, q_aff):
     return final_exponentiation(miller_loop([(p_aff, q_aff)]))
 

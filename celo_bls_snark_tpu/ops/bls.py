@@ -1,0 +1,104 @@
+"""Device-side BLS verification pipelines (the batched/TPU counterparts of
+crates/bls-crypto/src/bls/{public,signature,batch}.rs).
+
+Message hashing (Blake2/Pedersen try-and-increment) is control-flow-heavy
+and byte-oriented; it runs on the host (hash_to_curve package) — the device
+consumes message HASH POINTS. This mirrors the reference's split between
+`batch_verify` and the lower-level `batch_verify_hashes`
+(signature.rs:101-155): the hot pairing/aggregation math is batched on
+device, the byte-plumbing stays on CPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..hostmath.params import G2_GENERATOR
+from ..hostmath import curves as hostcurves
+from .field import FQ, fq
+from . import curve as dc
+from . import tower as tw
+from . import pairing as dp
+
+
+def pack_g1_affine(points):
+    """Host affine G1 points (None = infinity -> (0,0)) -> (x, y) arrays."""
+    xs = [0 if p is None else p[0] for p in points]
+    ys = [0 if p is None else p[1] for p in points]
+    return (FQ.pack(xs), FQ.pack(ys))
+
+
+def pack_g2_affine(points):
+    xs0 = [0 if p is None else p[0][0] for p in points]
+    xs1 = [0 if p is None else p[0][1] for p in points]
+    ys0 = [0 if p is None else p[1][0] for p in points]
+    ys1 = [0 if p is None else p[1][1] for p in points]
+    return (
+        (FQ.pack(xs0), FQ.pack(xs1)),
+        (FQ.pack(ys0), FQ.pack(ys1)),
+    )
+
+
+def neg_g2_gen_affine(batch=1):
+    """-g2 as a device affine batch (for the e(sigma, -g2) leg)."""
+    neg = hostcurves.G2.neg(G2_GENERATOR)
+    return pack_g2_affine([neg] * batch)
+
+
+def batch_verify_hashes_device(sig_aff, pubkeys_aff, hashes_aff):
+    """e(sigma, -g2) * prod_i e(H_i, pk_i) == 1 (BDN18, n+1 pairings, one
+    final exponentiation) — signature.rs:125-155, fully batched.
+
+    sig_aff:     (x, y) arrays with batch 1
+    pubkeys_aff: G2 affine batch [B]
+    hashes_aff:  G1 affine batch [B]
+    Returns a boolean array of shape [1].
+    """
+    negg2 = jax.tree.map(
+        lambda a: jnp.asarray(a), neg_g2_gen_affine(1)
+    )
+    p_all = jax.tree.map(
+        lambda s, h: jnp.concatenate([s, h], axis=-1), sig_aff, hashes_aff
+    )
+    q_all = jax.tree.map(
+        lambda g, pk: jnp.concatenate([g, pk], axis=-1), negg2, pubkeys_aff
+    )
+    return dp.pairing_check_product(p_all, q_all)
+
+
+def aggregate_g2_device(pubkeys_jac):
+    """Sum of a Jacobian G2 batch -> batch-1 point (PublicKey::aggregate)."""
+    return dc.g2.msum(pubkeys_jac)
+
+
+def aggregate_g1_device(sigs_jac):
+    """Sum of a Jacobian G1 batch -> batch-1 point (Signature::aggregate)."""
+    return dc.g1.msum(sigs_jac)
+
+
+def scalars_to_bits(scalars, nbits=253):
+    """List of python ints -> [nbits, B] uint32 MSB-first bit array."""
+    B = len(scalars)
+    bits = np.zeros((nbits, B), dtype=np.uint32)
+    for j, k in enumerate(scalars):
+        for i in range(nbits):
+            bits[i, j] = (k >> (nbits - 1 - i)) & 1
+    return bits
+
+
+def msm_g1_device(bits, points_jac):
+    """Batched scalar-mul + tree-sum MSM (double-and-add form).
+
+    bits: [nbits, B]; points_jac: G1 Jacobian batch [B]. Returns batch-1
+    Jacobian point = sum_i scalar_i * P_i.
+    The Pippenger bucketed version (windowed, mesh-sharded) lives in
+    ops/msm.py; this dense form is the small-batch path
+    (PublicKey::batch / Signature::batch semantics, public.rs:47-65).
+    """
+    prods = dc.g1.scalar_mul_bits(bits, points_jac)
+    return dc.g1.msum(prods)
+
+
+def msm_g2_device(bits, points_jac):
+    prods = dc.g2.scalar_mul_bits(bits, points_jac)
+    return dc.g2.msum(prods)

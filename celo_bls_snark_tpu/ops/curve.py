@@ -1,0 +1,276 @@
+"""Batched short-Weierstrass group law on device (G1 over Fq, G2 over Fq2).
+
+Points are Jacobian (X, Y, Z) pytrees of limb arrays; infinity is Z == 0.
+All ops are branch-free: doubling/addition edge cases resolve via selects so
+one traced graph serves every lane (the XLA-friendly reformulation of
+arkworks' branchy Jacobian add — SURVEY.md section 7 hard part (b)).
+
+Independent field multiplies inside each formula are stacked into single
+wide kernel calls (F.mul_many layers): a full Jacobian add is ~5 kernel
+dispatches instead of ~16.
+
+Host oracle: hostmath/curves.py.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..hostmath.params import P
+from .field import FQ, fq
+from . import tower as tw
+
+
+class _F2Wrap:
+    """Adapter giving Fq2 the same callable surface as fq for generic code."""
+
+    add = staticmethod(tw.f2_add)
+    sub = staticmethod(tw.f2_sub)
+    mul = staticmethod(tw.f2_mul)
+    mul_many = staticmethod(tw.f2_mul_batch)
+    sq = staticmethod(tw.f2_sq)
+    neg = staticmethod(tw.f2_neg)
+    inv = staticmethod(tw.f2_inv)
+    is_zero = staticmethod(tw.f2_is_zero)
+    is_zero_many = staticmethod(tw.f2_is_zero_many)
+    eq = staticmethod(tw.f2_eq)
+    select = staticmethod(tw.f2_select)
+    zeros = staticmethod(tw.f2_zeros)
+    ones = staticmethod(tw.f2_ones)
+
+    @staticmethod
+    def smul(k, a):
+        return tw.f2_smul(k, a)
+
+
+class _FqWrap:
+    add = staticmethod(fq.add)
+    sub = staticmethod(fq.sub)
+    mul = staticmethod(fq.mul)
+
+    @staticmethod
+    def mul_many(pairs):
+        return fq.mul_many(pairs)
+
+    sq = staticmethod(fq.sq)
+    neg = staticmethod(fq.neg)
+    inv = staticmethod(fq.inv)
+    is_zero = staticmethod(fq.is_zero)
+    is_zero_many = staticmethod(fq.is_zero_many)
+    eq = staticmethod(fq.eq)
+    select = staticmethod(fq.select)
+    zeros = staticmethod(fq.zeros)
+    ones = staticmethod(fq.ones)
+
+    @staticmethod
+    def smul(k, a):
+        return fq.mul_small(a, k)
+
+
+def make_curve_ops(F):
+    """Jacobian group law over field adapter F."""
+
+    def infinity(batch):
+        return (F.ones(batch), F.ones(batch), F.zeros(batch))
+
+    def is_infinity(pt):
+        return F.is_zero(pt[2])
+
+    def from_affine(xy):
+        x, y = xy
+        batch = jax.tree.leaves(x)[0].shape[1:]
+        return (x, y, F.ones(batch))
+
+    def to_affine(pt):
+        """Batched; infinity lanes return (0, 0)."""
+        X, Y, Z = pt
+        zi = F.inv(Z)  # inv(0) = 0, so infinity lanes collapse to (0, 0)
+        zi2 = F.sq(zi)
+        zi3 = F.mul(zi, zi2)
+        xa, ya = F.mul_many([(X, zi2), (Y, zi3)])
+        return (xa, ya)
+
+    def neg(pt):
+        return (pt[0], F.neg(pt[1]), pt[2])
+
+    def double(pt):
+        # dbl-2007-bl, 3 stacked-mul layers
+        X1, Y1, Z1 = pt
+        A, B, YZ = F.mul_many([(X1, X1), (Y1, Y1), (Y1, Z1)])
+        E = F.smul(3, A)
+        xb = F.add(X1, B)
+        C, T, FF = F.mul_many([(B, B), (xb, xb), (E, E)])
+        D = F.smul(2, F.sub(T, F.add(A, C)))
+        X3 = F.sub(FF, F.smul(2, D))
+        (Y3a,) = F.mul_many([(E, F.sub(D, X3))])
+        Y3 = F.sub(Y3a, F.smul(8, C))
+        Z3 = F.smul(2, YZ)
+        return (X3, Y3, Z3)
+
+    def add(p1, p2):
+        """Branch-free complete addition (add-2007-bl + selects),
+        5 stacked-mul layers plus the doubling path."""
+        X1, Y1, Z1 = p1
+        X2, Y2, Z2 = p2
+        Z1Z1, Z2Z2, Z1Z2, S1a, S2a = F.mul_many(
+            [(Z1, Z1), (Z2, Z2), (Z1, Z2), (Y1, Z2), (Y2, Z1)]
+        )
+        U1, U2, S1, S2 = F.mul_many(
+            [(X1, Z2Z2), (X2, Z1Z1), (S1a, Z2Z2), (S2a, Z1Z1)]
+        )
+        H = F.sub(U2, U1)
+        r = F.smul(2, F.sub(S2, S1))
+        inf1, inf2, samex, sames = F.is_zero_many([Z1, Z2, H, F.sub(S2, S1)])
+        H2 = F.smul(2, H)
+        I, r2 = F.mul_many([(H2, H2), (r, r)])
+        J, V, ZH = F.mul_many([(H, I), (U1, I), (Z1Z2, H)])
+        X3 = F.sub(F.sub(r2, J), F.smul(2, V))
+        rV, S1J = F.mul_many([(r, F.sub(V, X3)), (S1, J)])
+        Y3 = F.sub(rV, F.smul(2, S1J))
+        Z3 = F.smul(2, ZH)
+        out = (X3, Y3, Z3)
+        # x equal, y equal -> doubling
+        dbl = double(p1)
+        out = tree_select(samex & sames, dbl, out)
+        # x equal, y differ -> infinity
+        batch = jax.tree.leaves(Z1)[0].shape[1:]
+        out = tree_select(samex & ~sames & ~inf1 & ~inf2, infinity(batch), out)
+        # infinity inputs
+        out = tree_select(inf1, p2, out)
+        out = tree_select(inf2 & ~inf1, p1, out)
+        return out
+
+    def tree_select(c, a, b):
+        return jax.tree.map(lambda x, y: jnp.where(c[None], x, y), a, b)
+
+    def select(c, a, b):
+        return tree_select(c, a, b)
+
+    def scalar_mul_bits(bits, pt):
+        """Per-lane scalar mul. bits: [nbits, B] uint32 (MSB first)."""
+        batch = jax.tree.leaves(pt[0])[0].shape[1:]
+        acc0 = infinity(batch)
+
+        def step(acc, bit):
+            acc = double(acc)
+            acc_plus = add(acc, pt)
+            acc = tree_select(bit != 0, acc_plus, acc)
+            return acc, None
+
+        acc, _ = jax.lax.scan(step, acc0, bits)
+        return acc
+
+    def scalar_mul_const(k: int, pt):
+        """Multiply every lane by the same compile-time scalar."""
+        nb = max(1, k.bit_length())
+        bits = jnp.asarray(
+            [(k >> (nb - 1 - i)) & 1 for i in range(nb)], dtype=jnp.uint32
+        )
+        batch = jax.tree.leaves(pt[0])[0].shape[1:]
+        bits = jnp.broadcast_to(bits[:, None], (nb, *batch))
+        return scalar_mul_bits(bits, pt)
+
+    def msum(p):
+        """Sum over the last batch axis -> batch of size 1 (tree reduction:
+        log2(B) levels of lane-parallel adds). p arrays: [n, B] -> [n, 1]."""
+        while jax.tree.leaves(p)[0].shape[-1] > 1:
+            b = jax.tree.leaves(p)[0].shape[-1]
+            if b % 2:
+                inf1 = infinity((1,))
+                p = jax.tree.map(
+                    lambda x, i: jnp.concatenate([x, i], axis=-1), p, inf1
+                )
+            even = jax.tree.map(lambda x: x[..., 0::2], p)
+            odd = jax.tree.map(lambda x: x[..., 1::2], p)
+            p = add(even, odd)
+        return p
+
+    class Ops:
+        pass
+
+    ops = Ops()
+    ops.F = F
+    ops.infinity = infinity
+    ops.is_infinity = is_infinity
+    ops.from_affine = from_affine
+    ops.to_affine = to_affine
+    ops.neg = neg
+    ops.double = double
+    ops.add = add
+    ops.select = select
+    ops.tree_select = tree_select
+    ops.scalar_mul_bits = scalar_mul_bits
+    ops.scalar_mul_const = scalar_mul_const
+    ops.msum = msum
+    return ops
+
+
+g1 = make_curve_ops(_FqWrap)
+g2 = make_curve_ops(_F2Wrap)
+
+
+# --- host <-> device point packing ----------------------------------------
+
+def g1_pack(points):
+    """List of affine host points (or None) -> device Jacobian batch."""
+    xs, ys, zs = [], [], []
+    for pt in points:
+        if pt is None:
+            xs.append(1)
+            ys.append(1)
+            zs.append(0)
+        else:
+            xs.append(pt[0])
+            ys.append(pt[1])
+            zs.append(1)
+    return (FQ.pack(xs), FQ.pack(ys), FQ.pack(zs))
+
+
+def g1_unpack(dev_pt):
+    """Device Jacobian batch -> list of affine host points (None=infinity)."""
+    import numpy as np
+
+    x, y = g1.to_affine(dev_pt)
+    zs = fq.is_zero(dev_pt[2])
+    xs = FQ.unpack(x)
+    ys = FQ.unpack(y)
+    infs = np.asarray(zs).reshape(-1)
+    return [None if i else (a, b) for a, b, i in zip(xs, ys, infs)]
+
+
+def g2_pack(points):
+    xs0, xs1, ys0, ys1, zs = [], [], [], [], []
+    for pt in points:
+        if pt is None:
+            xs0.append(1)
+            xs1.append(0)
+            ys0.append(1)
+            ys1.append(0)
+            zs.append(0)
+        else:
+            (x0, x1), (y0, y1) = pt
+            xs0.append(x0)
+            xs1.append(x1)
+            ys0.append(y0)
+            ys1.append(y1)
+            zs.append(1)
+    return (
+        (FQ.pack(xs0), FQ.pack(xs1)),
+        (FQ.pack(ys0), FQ.pack(ys1)),
+        (FQ.pack(zs), FQ.pack([0] * len(zs))),
+    )
+
+
+def g2_unpack(dev_pt):
+    import numpy as np
+
+    x, y = g2.to_affine(dev_pt)
+    zs = tw.f2_is_zero(dev_pt[2])
+    x0 = FQ.unpack(x[0])
+    x1 = FQ.unpack(x[1])
+    y0 = FQ.unpack(y[0])
+    y1 = FQ.unpack(y[1])
+    infs = np.asarray(zs).reshape(-1)
+    return [
+        None if i else ((a0, a1), (b0, b1))
+        for a0, a1, b0, b1, i in zip(x0, x1, y0, y1, infs)
+    ]

@@ -1,0 +1,467 @@
+"""Batched prime-field arithmetic for TPU: lazy-redundant 16-bit limbs,
+Montgomery form, guard-limb headroom.
+
+Layout: a field-element batch is an int32 array of shape [n_limbs, B] —
+limbs on the leading (sublane) axis, batch on the 128-lane axis.
+
+Design (the key to both compile time and runtime on TPU):
+
+  LAZY REDUNDANT REPRESENTATION. add/sub/neg/small-scalar ops are plain
+  elementwise int32 arithmetic — ONE vector op each, no carry chains in the
+  XLA graph. Limbs may grow to |l| < 2^26 and the represented value may
+  drift into (-512p, 512p). All normalization happens INSIDE the Montgomery
+  multiply (where it is a handful of unrolled vector ops in a Pallas kernel
+  or two small scans on CPU).
+
+  GUARD LIMB. Each field gets one extra 16-bit limb beyond its modulus
+  (e.g. 25 limbs for the 377-bit Fq), so R/p >= 2^23. Montgomery inputs of
+  value < 1024p then still give outputs < 2p (CIOS bound c^2·p < R), which
+  is what makes the lazy contract sound:
+    - mul/sq outputs: canonical limbs (< 2^16), value < 2p;
+    - any audited formula chain between muls stays within (-512p, 512p)
+      and |limb| < 2^26; the multiply pre-adds a constant 512p offset and
+      renormalizes, erasing the drift.
+
+  Equality/zero tests are mod-p semantic: they canonicalize via one
+  Montgomery multiply by 1 (output < 2p -> compare against {0, p}).
+
+Three multiply backends, dispatched on jax.default_backend():
+  - Pallas fused CIOS kernel (TPU): input normalization + 16-bit CIOS fully
+    unrolled in one kernel; ~25 ns/mul/lane at batch 8k.
+  - "conv" loop-free path (CPU/tests): normalization via two tiny scans +
+    schoolbook column products via constant gathers + carry-lookahead.
+Host oracle: hostmath/fp.py (tests/test_ops_field.py).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..hostmath.params import P, R, BW6_P
+
+LIMB_BITS = 16
+LIMB_MASK = (1 << LIMB_BITS) - 1
+LAZY_P_BUDGET = 256  # |value| < LAZY_P_BUDGET * p between multiplies
+
+
+def int_to_limbs(v: int, n: int) -> np.ndarray:
+    out = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        out[i] = (v >> (LIMB_BITS * i)) & LIMB_MASK
+    return out
+
+
+def limbs_to_int(limbs) -> int:
+    v = 0
+    for i, l in enumerate(np.asarray(limbs, dtype=np.int64)):
+        v += int(l) << (LIMB_BITS * i)
+    return v
+
+
+class FieldSpec:
+    """Compile-time constants for one prime field (with guard limb)."""
+
+    def __init__(self, modulus: int, name: str):
+        self.modulus = modulus
+        self.name = name
+        self.bits = modulus.bit_length()
+        # +1 guard limb: R/p >= 2^23 so lazy values < 1024p keep CIOS < 2p
+        self.n = (self.bits + LIMB_BITS - 1) // LIMB_BITS + 1
+        self.mont_r = (1 << (LIMB_BITS * self.n)) % modulus
+        self.mont_r2 = self.mont_r * self.mont_r % modulus
+        self.n0inv = (-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        nprime = (-pow(modulus, -1, 1 << (LIMB_BITS * self.n))) % (
+            1 << (LIMB_BITS * self.n)
+        )
+        self.p_limbs = int_to_limbs(modulus, self.n)
+        self.nprime_limbs = int_to_limbs(nprime, self.n)
+        self.offset_limbs = int_to_limbs(LAZY_P_BUDGET * modulus, self.n)
+        # CIOS soundness: inputs < 2*BUDGET*p must give outputs < 2p
+        assert (2 * LAZY_P_BUDGET) ** 2 * modulus < (1 << (LIMB_BITS * self.n)), name
+
+    # --- host-side conversions (I/O boundary only) ------------------------
+    def to_mont(self, v: int) -> np.ndarray:
+        return int_to_limbs(v * self.mont_r % self.modulus, self.n)
+
+    def from_mont(self, limbs) -> int:
+        return limbs_to_int(limbs) * pow(self.mont_r, -1, self.modulus) % self.modulus
+
+    def pack(self, values) -> np.ndarray:
+        """Iterable of ints -> [n, B] int32 Montgomery array (canonical)."""
+        return np.stack([self.to_mont(int(v)) for v in values], axis=-1)
+
+    def unpack(self, arr) -> list:
+        """[n, ...] -> flat list of ints (standard form, mod p applied)."""
+        arr = np.asarray(arr)
+        flat = arr.reshape(self.n, -1)
+        return [self.from_mont(flat[:, i]) for i in range(flat.shape[1])]
+
+    def zeros(self, batch_shape) -> jnp.ndarray:
+        return jnp.zeros((self.n, *batch_shape), dtype=jnp.int32)
+
+    def ones(self, batch_shape) -> jnp.ndarray:
+        return self.const(1, batch_shape)
+
+    def const(self, v: int, batch_shape=(1,)) -> jnp.ndarray:
+        c = jnp.asarray(self.to_mont(v % self.modulus), dtype=jnp.int32)
+        return jnp.broadcast_to(
+            c.reshape(self.n, *([1] * len(batch_shape))), (self.n, *batch_shape)
+        )
+
+
+FQ = FieldSpec(P, "fq377")
+FR = FieldSpec(R, "fr253")
+FQ761 = FieldSpec(BW6_P, "fq761")
+
+
+# ---------------------------------------------------------------------------
+# Carry helpers for the conv (CPU) path
+# ---------------------------------------------------------------------------
+
+def _carry_lookahead(v, carry_in_one: bool = False):
+    """Loop-free carry propagation for NONNEGATIVE limbs < 2^17 (uint32)."""
+    if carry_in_one:
+        v = v.at[0].add(1)
+    g = (v >> LIMB_BITS).astype(jnp.uint32)
+    p = ((v & LIMB_MASK) == LIMB_MASK).astype(jnp.uint32)
+
+    def op(a, b):
+        ga, pa = a
+        gb, pb = b
+        return (gb | (pb & ga), pa & pb)
+
+    G, _ = jax.lax.associative_scan(op, (g, p), axis=0)
+    carries = jnp.concatenate([jnp.zeros_like(G[:1]), G[:-1]], axis=0)
+    out = ((v & LIMB_MASK) + carries) & LIMB_MASK
+    return out, G[-1]
+
+
+def _carry_normalize_u32(t):
+    """Full carry propagation for uint32 columns < 2^25."""
+    t = jnp.asarray(t)
+    hi = t >> LIMB_BITS
+    v = (t & LIMB_MASK).at[1:].add(hi[:-1])
+    out, carry = _carry_lookahead(v)
+    return out, carry + hi[-1]
+
+
+def _sub_limbs_u32(a, b):
+    """(a - b) on canonical uint32 limbs; returns (diff, borrow)."""
+    a, b = jnp.broadcast_arrays(a, b)
+    w = a + (LIMB_MASK - b)
+    out, carry_out = _carry_lookahead(w, carry_in_one=True)
+    return out, 1 - carry_out
+
+
+def _normalize_lazy_scan(a, offset_np):
+    """Lazy int32 limbs -> canonical uint32 limbs of (value + 512p).
+
+    One sequential signed ripple (lax.scan) — exact for any |limb| < 2^26.
+    """
+    t = a + jnp.asarray(offset_np).reshape(a.shape[0], *([1] * (a.ndim - 1)))
+
+    def step(carry, row):
+        v = row + carry
+        c = v >> LIMB_BITS  # arithmetic shift: floor division
+        return c, (v - (c << LIMB_BITS)).astype(jnp.uint32)
+
+    carry, out = jax.lax.scan(step, jnp.zeros_like(t[0]), t)
+    # value + 512p in (0, 1024p) < R, so carry out is always 0
+    return out
+
+
+def _conv_idx(n: int, width: int) -> np.ndarray:
+    idx = np.full((n, width), n, np.int32)
+    for i in range(n):
+        for k in range(width):
+            if 0 <= k - i < n:
+                idx[i, k] = k - i
+    return idx
+
+
+def _full_cols(a, b, n: int, idx_np: np.ndarray, width: int):
+    """Unnormalized uint32 column sums of a*b over `width` columns
+    (+ the spill column at index `width`). Inputs: canonical uint32."""
+    prod = a[:, None, :] * b[None, :, :]
+    lo = prod & LIMB_MASK
+    hi = prod >> LIMB_BITS
+    zpad = jnp.zeros_like(lo[:, :1])
+    lo_p = jnp.concatenate([lo, zpad], axis=1)
+    hi_p = jnp.concatenate([hi, zpad], axis=1)
+    B = a.shape[-1]
+    idx = jnp.broadcast_to(jnp.asarray(idx_np[:, :width])[:, :, None], (n, width, B))
+    cols_lo = jnp.take_along_axis(lo_p, idx, axis=1).sum(axis=0, dtype=jnp.uint32)
+    cols_hi = jnp.take_along_axis(hi_p, idx, axis=1).sum(axis=0, dtype=jnp.uint32)
+    cols = cols_lo.at[1:].add(cols_hi[:-1])
+    return cols, cols_hi[-1]
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel: lazy-normalize + CIOS (TPU execution path)
+# ---------------------------------------------------------------------------
+
+_PALLAS_MAX_BLK = 8192
+
+
+def _make_pallas_mul(spec: "FieldSpec"):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = spec.n
+    p_limbs = [int(x) for x in spec.p_limbs]
+    off_limbs = [int(x) for x in spec.offset_limbs]
+    n0inv = np.uint32(spec.n0inv)
+
+    def kernel(a_ref, b_ref, o_ref):
+        blk = a_ref.shape[1]
+        s = blk // 128
+
+        def normalize(ref):
+            """lazy int32 [n, blk] -> list of canonical uint32 [s, 128]."""
+            x = ref[...].reshape(n, s, 128)
+            out = []
+            carry = jnp.zeros((s, 128), jnp.int32)
+            for k in range(n):
+                v = x[k] + np.int32(off_limbs[k]) + carry
+                carry = v >> LIMB_BITS  # arithmetic shift
+                out.append((v - (carry << LIMB_BITS)).astype(jnp.uint32))
+            return out
+
+        a = normalize(a_ref)
+        b = normalize(b_ref)
+        z = jnp.zeros((s, 128), jnp.uint32)
+        t = [z] * (n + 2)
+        for i in range(n):
+            ai = a[i]
+            for j in range(n):
+                prod = ai * b[j]
+                t[j] = t[j] + (prod & LIMB_MASK)
+                t[j + 1] = t[j + 1] + (prod >> LIMB_BITS)
+            m = (t[0] * n0inv) & LIMB_MASK
+            for j in range(n):
+                prod2 = m * np.uint32(p_limbs[j])
+                t[j] = t[j] + (prod2 & LIMB_MASK)
+                t[j + 1] = t[j + 1] + (prod2 >> LIMB_BITS)
+            t[1] = t[1] + (t[0] >> LIMB_BITS)
+            t = t[1:] + [z]
+        # final carry normalization; result < 2p fits n limbs
+        out = []
+        carry = z
+        for k in range(n):
+            v = t[k] + carry
+            out.append((v & LIMB_MASK).astype(jnp.int32))
+            carry = v >> LIMB_BITS
+        o_ref[...] = jnp.stack(out).reshape(n, blk)
+
+    def mul(a, b):
+        B = a.shape[-1]
+        blk = B if B <= _PALLAS_MAX_BLK else _PALLAS_MAX_BLK
+        while B % blk:
+            blk //= 2
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, B), jnp.int32),
+            grid=(B // blk,),
+            in_specs=[
+                pl.BlockSpec((n, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        )(a, b)
+
+    return mul
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Field-op namespaces
+# ---------------------------------------------------------------------------
+
+def make_field_ops(spec: FieldSpec):
+    n = spec.n
+    p_np = spec.p_limbs.astype(np.uint32)
+    idx_np = _conv_idx(n, 2 * n)
+    pallas_mul_holder = []
+
+    # --- lazy ops: single elementwise int32 instructions ------------------
+    def add(a, b):
+        return a + b
+
+    def sub(a, b):
+        return a - b
+
+    def neg(a):
+        return -a
+
+    def mul_small(a, k: int):
+        assert 0 <= k <= 8
+        return a * np.int32(k)
+
+    def select(c, a, b):
+        a, b = jnp.broadcast_arrays(a, b)
+        return jnp.where(c[None], a, b)
+
+    # --- multiply (erases lazy drift; output canonical < 2p) --------------
+    def mul_conv(a, b):
+        batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        a = jnp.broadcast_to(a, (n, *batch))
+        b = jnp.broadcast_to(b, (n, *batch))
+        an = _normalize_lazy_scan(a, spec.offset_limbs)
+        bn = _normalize_lazy_scan(b, spec.offset_limbs)
+        T, extraT = _full_cols(an, bn, n, idx_np, 2 * n)
+        t_low, _ = _carry_normalize_u32(T[:n])
+        nprime = jnp.broadcast_to(
+            jnp.asarray(spec.nprime_limbs.astype(np.uint32))[:, None], (n, *batch)
+        )
+        m_cols, _ = _full_cols(t_low, nprime, n, idx_np, n)
+        m, _ = _carry_normalize_u32(m_cols)
+        p_bc = jnp.broadcast_to(jnp.asarray(p_np)[:, None], (n, *batch))
+        mN, extraM = _full_cols(m, p_bc, n, idx_np, 2 * n)
+        total = jnp.concatenate([T + mN, (extraT + extraM)[None]], axis=0)
+        norm, _carry = _carry_normalize_u32(total)
+        # (T + m*p)/R < 2p < 2^(16n): columns n..2n-1 hold the result
+        return norm[n : 2 * n].astype(jnp.int32)
+
+    def mul(a, b):
+        if _on_tpu():
+            batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+            assert len(batch) == 1, "field batch must be 1-D"
+            a = jnp.broadcast_to(a, (n, *batch))
+            b = jnp.broadcast_to(b, (n, *batch))
+            B = batch[0]
+            pad = (-B) % 128
+            if pad:
+                a = jnp.pad(a, ((0, 0), (0, pad)))
+                b = jnp.pad(b, ((0, 0), (0, pad)))
+            if not pallas_mul_holder:
+                pallas_mul_holder.append(_make_pallas_mul(spec))
+            out = pallas_mul_holder[0](a, b)
+            return out[:, :B] if pad else out
+        return mul_conv(a, b)
+
+    def mul_many(pairs):
+        """Many independent products in ONE kernel dispatch (batch concat)."""
+        if len(pairs) == 1:
+            return [mul(pairs[0][0], pairs[0][1])]
+        batch = jnp.broadcast_shapes(
+            *[jnp.broadcast_shapes(a.shape[1:], b.shape[1:]) for a, b in pairs]
+        )
+        A = jnp.concatenate(
+            [jnp.broadcast_to(a, (n, *batch)) for a, _ in pairs], axis=-1
+        )
+        Bm = jnp.concatenate(
+            [jnp.broadcast_to(b, (n, *batch)) for _, b in pairs], axis=-1
+        )
+        C = mul(A, Bm)
+        w = batch[-1]
+        return [C[..., i * w : (i + 1) * w] for i in range(len(pairs))]
+
+    def sq(a):
+        return mul(a, a)
+
+    # --- mod-p semantic predicates (canonicalize via one multiply) --------
+    def canon2p(a):
+        """Lazy value -> canonical limbs with value < 2p (mod p preserved):
+        Montgomery-multiply by R (the Montgomery form of 1)."""
+        return mul(a, spec.ones(a.shape[1:]))
+
+    def is_zero(a):
+        z = canon2p(a)
+        pl_ = jnp.asarray(p_np.astype(np.int32)).reshape(n, *([1] * (a.ndim - 1)))
+        return jnp.all(z == 0, axis=0) | jnp.all(z == pl_, axis=0)
+
+    def eq(a, b):
+        return is_zero(a - b)
+
+    def is_zero_many(vals):
+        """Stacked zero-tests: ONE kernel call for k values."""
+        k = len(vals)
+        batch = vals[0].shape[1:]
+        outs = mul_many([(v, spec.ones(batch)) for v in vals])
+        pl_ = jnp.asarray(p_np.astype(np.int32)).reshape(n, *([1] * len(batch)))
+        return [
+            jnp.all(z == 0, axis=0) | jnp.all(z == pl_, axis=0) for z in outs
+        ]
+
+    def to_canonical(a):
+        """Full reduction to [0, p): canon2p then one conditional subtract.
+        Boundary op (serialization / host export)."""
+        z = canon2p(a).astype(jnp.uint32)
+        diff, borrow = _sub_limbs_u32(
+            z, jnp.broadcast_to(jnp.asarray(p_np)[:, None], z.shape)
+        )
+        return jnp.where((borrow != 0)[None], z, diff).astype(jnp.int32)
+
+    def pow_const(a, e: int):
+        """a^e for a fixed python-int exponent (scan over bits for large e)."""
+        if e == 0:
+            return spec.ones(a.shape[1:])
+        if e.bit_length() <= 8:
+            result = None
+            base = a
+            while e > 0:
+                if e & 1:
+                    result = base if result is None else mul(result, base)
+                e >>= 1
+                if e:
+                    base = sq(base)
+            return result
+        nb = e.bit_length()
+        bits = jnp.asarray(
+            [(e >> (nb - 1 - i)) & 1 for i in range(1, nb)], dtype=jnp.uint32
+        )
+
+        def step(res, bit):
+            res = sq(res)
+            res = jnp.where(bit != 0, mul(res, a), res)
+            return res, None
+
+        res, _ = jax.lax.scan(step, a, bits)
+        return res
+
+    def inv(a):
+        """a^(p-2): batched, branch-free. inv(0) = 0."""
+        return pow_const(a, spec.modulus - 2)
+
+    def legendre_is_qr(a):
+        l = pow_const(a, (spec.modulus - 1) // 2)
+        return eq(l, spec.ones(a.shape[1:]))
+
+    class Ops:
+        pass
+
+    ops = Ops()
+    ops.spec = spec
+    ops.n = n
+    ops.add = add
+    ops.sub = sub
+    ops.neg = neg
+    ops.mul = mul
+    ops.mul_conv = mul_conv
+    ops.mul_many = mul_many
+    ops.sq = sq
+    ops.mul_small = mul_small
+    ops.is_zero = is_zero
+    ops.is_zero_many = is_zero_many
+    ops.eq = eq
+    ops.select = select
+    ops.canon2p = canon2p
+    ops.to_canonical = to_canonical
+    ops.pow_const = pow_const
+    ops.inv = inv
+    ops.legendre_is_qr = legendre_is_qr
+    ops.zeros = spec.zeros
+    ops.ones = spec.ones
+    ops.const = spec.const
+    return ops
+
+
+fq = make_field_ops(FQ)
+fr = make_field_ops(FR)
+fq761 = make_field_ops(FQ761)
