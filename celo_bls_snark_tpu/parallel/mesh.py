@@ -58,6 +58,7 @@ def sharded_miller_product(mesh, p_aff, q_aff, axis="data"):
         mesh=mesh,
         in_specs=(P(None, axis), P(None, axis)),
         out_specs=P(None, None),
+        check_vma=False,
     )
     return fn(p_aff, q_aff)
 
@@ -79,7 +80,7 @@ def sharded_msum_g1(mesh, pts_jac, axis="data"):
         return dc.g1.msum(g)
 
     fn = shard_map(
-        local, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, None)
+        local, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, None), check_vma=False
     )
     return fn(pts_jac)
 
@@ -91,7 +92,7 @@ def sharded_msum_g2(mesh, pts_jac, axis="data"):
         return dc.g2.msum(g)
 
     fn = shard_map(
-        local, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, None)
+        local, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, None), check_vma=False
     )
     return fn(pts_jac)
 
@@ -111,5 +112,6 @@ def sharded_msm_g1(mesh, bits, pts_jac, axis="data"):
         mesh=mesh,
         in_specs=(P(None, axis), P(None, axis)),
         out_specs=P(None, None),
+        check_vma=False,
     )
     return fn(bits, pts_jac)
