@@ -59,9 +59,11 @@ class TestPinnedProof:
         assert not verify(pinned["vk"], pinned["proof"], pinned["last"], pinned["first"])
 
     def test_tampered_entropy_rejected(self, pinned):
+        # the first-epoch commitment covers the PARENT entropy
+        # (epoch_block.rs:122-124); tamper it
         first = pinned["first"]
         tampered = EpochBlock(
-            first.index, first.round, bytes(16), first.parent_entropy,
+            first.index, first.round, first.epoch_entropy, bytes(16),
             first.maximum_non_signers, first.maximum_validators, first.new_public_keys,
         )
         assert not verify(pinned["vk"], pinned["proof"], tampered, pinned["last"])
