@@ -169,20 +169,50 @@ def make_curve_ops(F):
         bits = jnp.broadcast_to(bits[:, None], (nb, *batch))
         return scalar_mul_bits(bits, pt)
 
-    def msum(p):
-        """Sum over the last batch axis -> batch of size 1 (tree reduction:
-        log2(B) levels of lane-parallel adds). p arrays: [n, B] -> [n, 1]."""
-        while jax.tree.leaves(p)[0].shape[-1] > 1:
-            b = jax.tree.leaves(p)[0].shape[-1]
-            if b % 2:
-                inf1 = infinity((1,))
-                p = jax.tree.map(
-                    lambda x, i: jnp.concatenate([x, i], axis=-1), p, inf1
-                )
-            even = jax.tree.map(lambda x: x[..., 0::2], p)
-            odd = jax.tree.map(lambda x: x[..., 1::2], p)
-            p = add(even, odd)
-        return p
+    def msum(p, fold_lanes: int = 128):
+        """Sum over the last batch axis -> batch of size 1.
+
+        Two phases, both with compile cost INDEPENDENT of B (a handful of
+        kernel call sites instead of log2(B) distinct tree levels):
+          1. work-efficient scan-fold: [B] -> [fold_lanes] accumulating
+             chunks of fold_lanes lanes per scan step;
+          2. recursive-doubling all-reduce on the remaining lanes
+             (x += roll(x, 2^l), log2 rounds in one fori_loop body).
+        """
+        B = jax.tree.leaves(p)[0].shape[-1]
+        L = min(fold_lanes, B)
+        # round L down to a power of two
+        while L & (L - 1):
+            L &= L - 1
+        pad = (-B) % L
+        if pad:
+            infp = infinity((pad,))
+            p = jax.tree.map(
+                lambda x, i: jnp.concatenate([x, i], axis=-1), p, infp
+            )
+            B += pad
+        if B > L:
+            k = B // L
+            chunks = jax.tree.map(
+                lambda x: x.reshape(*x.shape[:-1], k, L).swapaxes(0, -2), p
+            )
+            # chunks leaves: [k, n, L]; scan-fold over k
+            def step(acc, chunk):
+                return add(acc, chunk), None
+
+            first = jax.tree.map(lambda x: x[0], chunks)
+            rest = jax.tree.map(lambda x: x[1:], chunks)
+            p, _ = jax.lax.scan(step, first, rest)
+        # recursive-doubling all-reduce over the last L lanes
+        rounds = L.bit_length() - 1
+
+        def body(l, x):
+            shift = jnp.left_shift(jnp.int32(1), l)
+            rolled = jax.tree.map(lambda a: jnp.roll(a, -shift, axis=-1), x)
+            return add(x, rolled)
+
+        p = jax.lax.fori_loop(0, rounds, body, p)
+        return jax.tree.map(lambda x: x[..., :1], p)
 
     class Ops:
         pass
