@@ -177,6 +177,69 @@ class SWCurve:
             acc = self.jac_add(acc, self.to_jac(pt))
         return self.from_jac(acc)
 
+    def msm(self, scalars, pts, c: int = 8):
+        """Pippenger multi-scalar multiplication (host oracle for the
+        device MSM; also the Groth16 prover's host path)."""
+        assert len(scalars) == len(pts)
+        entries = [(s, p) for s, p in zip(scalars, pts) if p is not None and s != 0]
+        if not entries:
+            return None
+        nbits = max(s.bit_length() for s, _ in entries)
+        windows = (nbits + c - 1) // c
+        inf = (self.F.one, self.F.one, self.F.zero)
+        result = inf
+        for w in reversed(range(windows)):
+            if result is not inf:
+                for _ in range(c):
+                    result = self.jac_double(result)
+            buckets = [None] * (1 << c)
+            for s, p in entries:
+                d = (s >> (w * c)) & ((1 << c) - 1)
+                if d:
+                    buckets[d] = (
+                        self.to_jac(p)
+                        if buckets[d] is None
+                        else self.jac_add(buckets[d], self.to_jac(p))
+                    )
+            acc = inf
+            total = inf
+            for b in range(len(buckets) - 1, 0, -1):
+                if buckets[b] is not None:
+                    acc = self.jac_add(acc, buckets[b])
+                total = self.jac_add(total, acc)
+            result = self.jac_add(result, total)
+        return self.from_jac(result)
+
+    def fixed_base_table(self, base, c: int = 8, nbits: int = None):
+        """Precompute window tables for fast repeated scalar muls of one
+        base (Groth16 setup: thousands of generator multiples)."""
+        assert nbits is not None, "pass the scalar bit-length"
+        windows = (nbits + c - 1) // c
+        table = []
+        cur = self.to_jac(base)
+        for _ in range(windows):
+            row = [None] * (1 << c)
+            acc = (self.F.one, self.F.one, self.F.zero)
+            for d in range(1, 1 << c):
+                acc = self.jac_add(acc, cur)
+                row[d] = acc
+            table.append(row)
+            for _ in range(c):
+                cur = self.jac_double(cur)
+        return (c, table)
+
+    def fixed_base_mul(self, table, k: int):
+        c, rows = table
+        acc = (self.F.one, self.F.one, self.F.zero)
+        w = 0
+        while k:
+            d = k & ((1 << c) - 1)
+            if d:
+                acc = self.jac_add(acc, rows[w][d])
+            k >>= c
+            w += 1
+        return self.from_jac(acc)
+
     def scale_by_cofactor(self, pt):
         return self.mul(self.cofactor, pt)
 

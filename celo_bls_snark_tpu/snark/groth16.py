@@ -206,11 +206,15 @@ def generate_parameters(cs, engine, rng):
     ginv = pow(gamma, -1, r)
     dinv = pow(delta, -1, r)
 
+    # fixed-base window tables: the setup is thousands of generator multiples
+    t1 = g1.fixed_base_table(G1g, nbits=r.bit_length())
+    t2 = g2.fixed_base_table(G2g, nbits=r.bit_length())
+
     def g1mul(k):
-        return g1.mul(k % r, G1g)
+        return g1.fixed_base_mul(t1, k % r)
 
     def g2mul(k):
-        return g2.mul(k % r, G2g)
+        return g2.fixed_base_mul(t2, k % r)
 
     vk = VerifyingKey(
         alpha_g1=g1mul(alpha),
@@ -290,14 +294,10 @@ def create_proof_no_zk(pk: ProvingKey, cs, engine) -> Proof:
     h = _compute_h(cs, engine)
 
     def msm_g1(bases, scalars):
-        return g1.msum(
-            [g1.mul(s % r, b) if s % r else None for b, s in zip(bases, scalars)]
-        )
+        return g1.msm([s % r for s in scalars], list(bases))
 
     def msm_g2(bases, scalars):
-        return g2.msum(
-            [g2.mul(s % r, b) if s % r else None for b, s in zip(bases, scalars)]
-        )
+        return g2.msm([s % r for s in scalars], list(bases))
 
     a = g1.add(pk.vk.alpha_g1, msm_g1(pk.a_query, z))
     b_g2 = g2.add(pk.vk.beta_g2, msm_g2(pk.b_g2_query, z))
