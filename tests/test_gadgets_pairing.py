@@ -1,0 +1,141 @@
+"""In-circuit tower/pairing/BLS gadget tests (cross-validated vs host)."""
+
+import random
+
+import pytest
+
+from celo_bls_snark_tpu.hostmath.params import P, R, G1_GENERATOR, G2_GENERATOR
+from celo_bls_snark_tpu.hostmath import curves as hc, fp2 as hf2, fq12 as hf12, pairing as hp
+from celo_bls_snark_tpu.relations.r1cs import ConstraintSystem
+from celo_bls_snark_tpu.gadgets.vars import Boolean, FpVar
+from celo_bls_snark_tpu.gadgets.ext_vars import Fp2Var, Fp12Var
+from celo_bls_snark_tpu.gadgets.curve_vars import G1Var, G2Var
+from celo_bls_snark_tpu.gadgets import bls as gbls
+from celo_bls_snark_tpu.gadgets.pairing_gadget import (
+    enforce_pairing_product_is_one,
+    final_exponentiation_gadget,
+    miller_loop_gadget,
+)
+
+random.seed(20240823)
+
+
+class TestExtVars:
+    def test_fp2_ops(self):
+        a = (random.randrange(P), random.randrange(P))
+        b = (random.randrange(P), random.randrange(P))
+        cs = ConstraintSystem(P, "prove")
+        av = Fp2Var.new_witness(cs, a)
+        bv = Fp2Var.new_witness(cs, b)
+        assert av.mul(bv).value() == hf2.mul(a, b)
+        assert av.square().value() == hf2.sq(a)
+        assert av.inverse().value() == hf2.inv(a)
+        assert cs.is_satisfied()
+
+    def test_fp12_frobenius(self):
+        def rnd6():
+            return tuple((random.randrange(P), random.randrange(P)) for _ in range(3))
+
+        a = (rnd6(), rnd6())
+        cs = ConstraintSystem(P, "prove")
+        av = Fp12Var.new_witness(cs, a)
+        assert av.frobenius().value() == hf12.frob(a)
+        assert av.mul(av).value() == hf12.mul(a, a)
+        assert cs.is_satisfied()
+
+
+class TestCurveVars:
+    def test_g1_add_double(self):
+        p1 = hc.G1.mul(5, G1_GENERATOR)
+        p2 = hc.G1.mul(7, G1_GENERATOR)
+        cs = ConstraintSystem(P, "prove")
+        v1 = G1Var.new_witness(cs, p1)
+        v2 = G1Var.new_witness(cs, p2)
+        assert v1.add_unchecked(v2).value() == hc.G1.add(p1, p2)
+        assert v1.double().value() == hc.G1.double(p1)
+        assert cs.is_satisfied()
+
+    def test_g2_add(self):
+        q1 = hc.G2.mul(3, G2_GENERATOR)
+        q2 = hc.G2.mul(11, G2_GENERATOR)
+        cs = ConstraintSystem(P, "prove")
+        v1 = G2Var.new_witness(cs, q1)
+        v2 = G2Var.new_witness(cs, q2)
+        assert v1.add_unchecked(v2).value() == hc.G2.add(q1, q2)
+        assert cs.is_satisfied()
+
+
+@pytest.mark.slow
+class TestPairingGadget:
+    def test_pairing_product_check(self):
+        a = 424242
+        aP = hc.G1.mul(a, G1_GENERATOR)
+        cs = ConstraintSystem(P, "prove")
+        pairs = [
+            (G1Var.new_witness(cs, aP), G2Var.new_witness(cs, G2_GENERATOR)),
+            (G1Var.new_witness(cs, hc.G1.neg(aP)), G2Var.new_witness(cs, G2_GENERATOR)),
+        ]
+        enforce_pairing_product_is_one(cs, pairs)
+        assert cs.is_satisfied()
+
+    def test_pairing_value_matches_host(self):
+        p1 = hc.G1.mul(5, G1_GENERATOR)
+        q1 = hc.G2.mul(9, G2_GENERATOR)
+        cs = ConstraintSystem(P, "prove")
+        f = miller_loop_gadget(
+            cs, [(G1Var.new_witness(cs, p1), G2Var.new_witness(cs, q1))]
+        )
+        e = final_exponentiation_gadget(cs, f)
+        host = hp.final_exponentiation_3d(hp.miller_loop([(p1, q1)]))
+        assert e.value() == host
+        assert cs.is_satisfied()
+
+
+@pytest.mark.slow
+class TestBlsVerifyGadget:
+    def _setup_sigs(self, bitmap_vals):
+        from celo_bls_snark_tpu.bls import PrivateKey, SIG_DOMAIN
+        from celo_bls_snark_tpu.hash_to_curve import composite_hash_to_g1_cip22
+        from celo_bls_snark_tpu.utils.rngs import XorShiftRng
+
+        rng = XorShiftRng(b"gadget-bls-test!")
+        h2c = composite_hash_to_g1_cip22()
+        sks = [PrivateKey.generate(rng) for _ in range(len(bitmap_vals))]
+        pks = [sk.to_public().pt for sk in sks]
+        h = h2c.hash(SIG_DOMAIN, b"epoch data", b"")
+        asig = hc.G1.msum(
+            [hc.G1.mul(sk.sk, h) for sk, b in zip(sks, bitmap_vals) if b]
+        )
+        return pks, h, asig
+
+    def _build(self, pks, bitmap_vals, h, asig, max_ns):
+        cs = ConstraintSystem(P, "prove")
+        pk_vars = [G2Var.new_witness(cs, pk) for pk in pks]
+        bitmap = [Boolean.new_witness(cs, b) for b in bitmap_vals]
+        gbls.verify(
+            cs,
+            pk_vars,
+            bitmap,
+            G1Var.new_witness(cs, h),
+            G1Var.new_witness(cs, asig),
+            FpVar.const(cs, max_ns),
+        )
+        return cs
+
+    def test_verify_satisfiable(self):
+        bitmap_vals = [True, True, True, False]
+        pks, h, asig = self._setup_sigs(bitmap_vals)
+        cs = self._build(pks, bitmap_vals, h, asig, 1)
+        assert cs.is_satisfied()
+
+    def test_forged_signature_unsatisfiable(self):
+        bitmap_vals = [True, True, True, False]
+        pks, h, asig = self._setup_sigs(bitmap_vals)
+        cs = self._build(pks, bitmap_vals, h, hc.G1.mul(999, h), 1)
+        assert not cs.is_satisfied()
+
+    def test_bitmap_threshold_unsatisfiable(self):
+        bitmap_vals = [True, True, False, False]
+        pks, h, asig = self._setup_sigs(bitmap_vals)
+        cs = self._build(pks, bitmap_vals, h, asig, 1)
+        assert not cs.is_satisfied()
