@@ -1,0 +1,116 @@
+"""Epoch-data gadgets: in-circuit epoch encodings + transition checks.
+
+Parity with crates/epoch-snark/src/gadgets/{mod,epoch_data}.rs:
+  - fr_to_bits / bytes_to_fr / g2_to_bits helpers (mod.rs:86-112)
+  - EpochDataGadget.to_bits: the in-circuit mirror of the native
+    encode_inner/first/last bit encodings (epoch_data.rs:143-221)
+  - enforce_next_epoch: index == previous + 1 unless dummy (index 0)
+    (epoch_data.rs:224-233)
+
+The message-hash leg (hash_bits_to_g1 -> HashToGroupGadget) joins once the
+Pedersen CRH gadget lands (ROADMAP.md); the CRH->XOF half is already
+available as gadgets/hash_to_bits.py.
+"""
+
+from ..hostmath.params import P
+from ..relations.r1cs import ConstraintSystem
+from ..gadgets.vars import Boolean, FpVar
+from ..gadgets.curve_vars import G2Var
+from ..gadgets.y_to_bit import g2_y_to_bit
+
+ENTROPY_BYTES = 16
+
+
+def fr_to_bits(cs, var: FpVar, length: int):
+    """LE bit decomposition truncated to `length` (mod.rs:94-99)."""
+    bits = var.to_bits_le()
+    return bits[:length]
+
+
+def bytes_to_fr(cs, data: bytes) -> FpVar:
+    """Witness the field element whose LE bytes are `data` (mod.rs:86-91)."""
+    if cs.is_in_setup_mode():
+        return FpVar.new_witness(cs, 0)
+    v = int.from_bytes(data, "little") % cs.p
+    return FpVar.new_witness(cs, v)
+
+
+def g2_to_bits(cs, pk: G2Var):
+    """x.c0 BE bits || x.c1 BE bits || lexicographic y bit (mod.rs:102-112)."""
+    c0_bits = pk.x.c0.to_bits_le()[:377][::-1]
+    c1_bits = pk.x.c1.to_bits_le()[:377][::-1]
+    y_bit = g2_y_to_bit(cs, pk.y.c0, pk.y.c1)
+    return c0_bits + c1_bits + [y_bit]
+
+
+class EpochDataGadget:
+    """Option-valued mirror of EpochBlock for in-circuit use
+    (epoch_data.rs:25-38). Values None in setup mode."""
+
+    def __init__(self, index, round_, epoch_entropy, parent_entropy,
+                 maximum_non_signers, public_keys):
+        self.index = index
+        self.round = round_
+        self.epoch_entropy = epoch_entropy      # bytes | None
+        self.parent_entropy = parent_entropy    # bytes | None
+        self.maximum_non_signers = maximum_non_signers
+        self.public_keys = public_keys          # list of host G2 points | None
+
+    @classmethod
+    def empty(cls, num_validators):
+        return cls(None, None, None, None, None, [None] * num_validators)
+
+    def to_bits(self, cs: ConstraintSystem):
+        """Returns (epoch_bits, extra_data_bits, first_epoch_bits,
+        last_epoch_bits, index_var, epoch_entropy_var, parent_entropy_var,
+        max_non_signers_var, pubkey_vars) — epoch_data.rs:143-221."""
+        setup = cs.is_in_setup_mode()
+        index = FpVar.new_witness(cs, 0 if setup else self.index)
+        index_bits = fr_to_bits(cs, index, 16)
+        round_ = FpVar.new_witness(cs, 0 if setup else self.round)
+        round_bits = fr_to_bits(cs, round_, 8)
+        maxns = FpVar.new_witness(cs, 0 if setup else self.maximum_non_signers)
+        maxns_bits = fr_to_bits(cs, maxns, 32)
+
+        empty = bytes(ENTROPY_BYTES)
+        ee = self.epoch_entropy if self.epoch_entropy is not None else empty
+        pe = self.parent_entropy if self.parent_entropy is not None else empty
+        epoch_entropy_var = bytes_to_fr(cs, ee)
+        epoch_entropy_bits = fr_to_bits(cs, epoch_entropy_var, 8 * ENTROPY_BYTES)
+        parent_entropy_var = bytes_to_fr(cs, pe)
+        parent_entropy_bits = fr_to_bits(cs, parent_entropy_var, 8 * ENTROPY_BYTES)
+
+        epoch_bits = list(epoch_entropy_bits) + list(parent_entropy_bits)
+        extra_data_bits = list(index_bits) + list(round_bits) + list(maxns_bits)
+        first_epoch_bits = list(index_bits) + list(parent_entropy_bits) + list(maxns_bits)
+        last_epoch_bits = list(index_bits) + list(epoch_entropy_bits) + list(maxns_bits)
+
+        pubkey_vars = []
+        for pk in self.public_keys:
+            pk_var = G2Var.new_witness(cs, pk)
+            pk_bits = g2_to_bits(cs, pk_var)
+            epoch_bits += pk_bits
+            first_epoch_bits += pk_bits
+            last_epoch_bits += pk_bits
+            pubkey_vars.append(pk_var)
+
+        return (
+            epoch_bits,
+            extra_data_bits,
+            first_epoch_bits,
+            last_epoch_bits,
+            index,
+            epoch_entropy_var,
+            parent_entropy_var,
+            maxns,
+            pubkey_vars,
+        )
+
+    @staticmethod
+    def enforce_next_epoch(cs, previous_index: FpVar, index: FpVar):
+        """index == previous + 1, unless index == 0 (dummy epoch)
+        (epoch_data.rs:224-233)."""
+        with cs.ns("enforce_next_epoch"):
+            prev_plus_one = previous_index.add(FpVar.const(cs, 1))
+            index_nonzero = index.is_eq_zero().not_()
+            index.conditional_enforce_equal(prev_plus_one, index_nonzero)
