@@ -65,6 +65,26 @@ def enforce_aggregated_pubkeys(cs, pub_keys, bitmap):
         return acc.add_unchecked(G2Var.constant(cs, hc.G2.neg(base)))
 
 
+def enforce_bitmap_with_aggregate(cs, pub_keys, signed_bitmap, message_hash,
+                                  maximum_non_signers, padding_pk):
+    """The reference's `enforce_bitmap` (bls.rs:179-231 caller shape):
+    threshold-check the bitmap, aggregate the selected keys while
+    disallowing the padding pk where bit = 1, and hand back the
+    (message_hash, aggregate_pk) pair for batch verification."""
+    with cs.ns("enforce_bitmap"):
+        enforce_maximum_occurrences_in_bitmap(
+            cs, signed_bitmap, maximum_non_signers, False
+        )
+        base = offset_base_g2()
+        acc = G2Var.constant(cs, base)
+        for bit, pk in zip(signed_bitmap, pub_keys):
+            pk.conditional_enforce_not_equal(padding_pk, bit)
+            added = acc.add_unchecked(pk)
+            acc = added.select(bit, acc)
+        apk = acc.add_unchecked(G2Var.constant(cs, hc.G2.neg(base)))
+        return message_hash, apk
+
+
 def enforce_aggregated_all_pubkeys(cs, pub_keys):
     """Unconditional sum of all pubkeys (bls.rs:160-171)."""
     with cs.ns("enforce_aggregated_all_pubkeys"):

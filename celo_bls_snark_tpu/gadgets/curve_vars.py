@@ -14,6 +14,7 @@ gadgets do via conditional selects).
 
 from ..hostmath import curves as hc, fp2 as hf2
 from ..hostmath.params import P
+from ..relations.r1cs import LinearCombination
 from .vars import Boolean, FpVar
 from .ext_vars import Fp2Var
 
@@ -103,9 +104,26 @@ class _AffineCurveVar:
         self.x.enforce_equal(o.x)
         self.y.enforce_equal(o.y)
 
+    def is_eq(self, o) -> Boolean:
+        """Point-equality boolean (AND of coordinate equalities)."""
+        eqs = self._coord_eq_bits(self.x, o.x) + self._coord_eq_bits(self.y, o.y)
+        out = eqs[0]
+        for e in eqs[1:]:
+            out = out.and_(e)
+        return out
+
+    def conditional_enforce_not_equal(self, o, cond: Boolean):
+        """cond => self != o (ark EqGadget semantics: is_eq AND cond == 0)."""
+        eq_bit = self.is_eq(o)
+        self.cs.enforce_constraint(eq_bit.lc(), cond.lc(), LinearCombination())
+
 
 class G1Var(_AffineCurveVar):
     host = hc.G1
+
+    @staticmethod
+    def _coord_eq_bits(a, b):
+        return [a.sub(b).is_eq_zero()]
 
     @staticmethod
     def _new_coord(cs, v):
@@ -134,6 +152,10 @@ class G1Var(_AffineCurveVar):
 
 class G2Var(_AffineCurveVar):
     host = hc.G2
+
+    @staticmethod
+    def _coord_eq_bits(a, b):
+        return [a.c0.sub(b.c0).is_eq_zero(), a.c1.sub(b.c1).is_eq_zero()]
 
     @staticmethod
     def _new_coord(cs, v):

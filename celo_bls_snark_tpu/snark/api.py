@@ -55,6 +55,111 @@ def verify_parsed(vk: VerifyingKey, first_epoch: EpochBlock, last_epoch: EpochBl
     return g16.verify_proof(vk, proof, public_inputs, BW6_761_ENGINE)
 
 
+@dataclass
+class Parameters:
+    """Groth16 keys for the epoch circuit (+ optional 2-SNARK helper keys)
+    — setup.rs:17-22."""
+
+    epochs: object                  # groth16.ProvingKey over BW6-761
+    hash_to_bits: Optional[object]  # groth16.ProvingKey over BLS12-377
+
+
+def _to_epoch_data(block: EpochBlock):
+    from .gadgets_epoch import EpochDataGadget
+
+    return EpochDataGadget(
+        block.index,
+        block.round,
+        block.epoch_entropy,
+        block.parent_entropy,
+        block.maximum_non_signers,
+        [pk.pt for pk in block.new_public_keys],
+    )
+
+
+def _to_update(transition):
+    from .single_update import SingleUpdateGadget
+
+    return SingleUpdateGadget(
+        _to_epoch_data(transition.block), list(transition.bitmap)
+    )
+
+
+def _to_dummy_update(num_validators: int):
+    """prover.rs:146-160: index 0, zero entropy, generator pubkeys,
+    all-ones bitmap."""
+    from ..hostmath.params import G2_GENERATOR
+    from .gadgets_epoch import EpochDataGadget
+    from .single_update import SingleUpdateGadget
+
+    return SingleUpdateGadget(
+        EpochDataGadget(
+            0, 0, bytes(16), bytes(16), 0, [G2_GENERATOR] * num_validators
+        ),
+        [True] * num_validators,
+    )
+
+
+def trusted_setup(num_validators: int, num_epochs: int, maximum_non_signers: int,
+                  rng, hashes_in_bls12_377: bool = False) -> Parameters:
+    """setup.rs:30-46. The 2-SNARK (hashes_in_bls12_377=True) outer circuit
+    still verifies the helper proof natively out-of-circuit for now
+    (ROADMAP: in-circuit Groth16 recursion)."""
+    from ..relations.r1cs import ConstraintSystem
+    from .epochs import ValidatorSetUpdate
+    from .hash_to_bits_circuit import HashToBits
+
+    helper_pk = None
+    if hashes_in_bls12_377:
+        cs = ConstraintSystem(g16.BLS12_377_ENGINE.fr, "setup")
+        HashToBits.empty(num_epochs).generate_constraints(cs)
+        helper_pk = g16.generate_parameters(cs, g16.BLS12_377_ENGINE, rng)
+
+    cs = ConstraintSystem(BW_FR, "setup")
+    circuit = ValidatorSetUpdate.empty(
+        num_validators, num_epochs, hash_helper=helper_pk
+    )
+    circuit.generate_constraints(cs)
+    epochs_pk = g16.generate_parameters(cs, BW6_761_ENGINE, rng)
+    return Parameters(epochs=epochs_pk, hash_to_bits=helper_pk)
+
+
+def prove(parameters: Parameters, num_validators: int, initial_epoch: EpochBlock,
+          transitions, max_transitions: int = 0):
+    """prover.rs:22-82: pad real transitions with dummy updates inserted
+    before the final epoch; aggregate all signatures plus one generator per
+    dummy; prove the ValidatorSetUpdate circuit (no zk randomization)."""
+    from ..hostmath.params import G1_GENERATOR
+    from ..hostmath import curves as hcurves
+    from ..relations.r1cs import ConstraintSystem
+    from .epochs import ValidatorSetUpdate
+
+    num_dummy = 0
+    if max_transitions > 0:
+        assert max_transitions >= len(transitions)
+        num_dummy = max_transitions - len(transitions)
+    updates = [_to_update(t) for t in transitions[:-1]]
+    updates += [_to_dummy_update(num_validators) for _ in range(num_dummy)]
+    updates.append(_to_update(transitions[-1]))
+
+    asig_pt = hcurves.G1.msum(
+        [t.aggregate_signature.pt for t in transitions]
+        + [G1_GENERATOR] * num_dummy
+    )
+    circuit = ValidatorSetUpdate(
+        _to_epoch_data(initial_epoch),
+        updates,
+        num_validators,
+        asig_pt,
+        hash_helper=parameters.hash_to_bits,
+    )
+    cs = ConstraintSystem(BW_FR, "prove")
+    circuit.generate_constraints(cs)
+    bad = cs.which_is_unsatisfied()
+    assert bad is None, f"witness generation produced unsatisfied constraint: {bad}"
+    return g16.create_proof_no_zk(parameters.epochs, cs, BW6_761_ENGINE)
+
+
 def verify(vk_bytes: bytes, proof_bytes: bytes, first_epoch: EpochBlock, last_epoch: EpochBlock) -> bool:
     """The C-FFI `verify` (crates/bls-snark-sys/src/snark/mod.rs:23-45):
     byte inputs, boolean output."""

@@ -114,3 +114,73 @@ class EpochDataGadget:
             prev_plus_one = previous_index.add(FpVar.const(cs, 1))
             index_nonzero = index.is_eq_zero().not_()
             index.conditional_enforce_equal(prev_plus_one, index_nonzero)
+
+    @staticmethod
+    def hash_bits_to_g1(cs, epoch_bits, extra_data_bits, generate_constraints_for_hash):
+        """BE bit-vectors -> byte-packed LE input -> witnessed try-and-
+        increment counter -> HashToGroupGadget (epoch_data.rs:237-301).
+        Returns (G1Var, crh_bits, xof_bits)."""
+        from ..gadgets.hash_to_group import enforce_hash_to_group
+        from ..hash_to_curve import composite_hash_to_g1_cip22
+        from ..bls import SIG_DOMAIN
+        from ..utils.bits import bits_le_to_bytes_le
+
+        with cs.ns("hash_bits_to_g1"):
+            # reverse to LE and pad to whole bytes (with constant zeros)
+            def to_le_bytes_bits(bits):
+                le = list(bits)[::-1]
+                while len(le) % 8:
+                    le.append(Boolean.false(cs))
+                return le
+
+            msg_bits = to_le_bytes_bits(epoch_bits)
+            extra_bits = to_le_bytes_bits(extra_data_bits)
+            if cs.is_in_setup_mode():
+                counter = 0
+            else:
+                msg_bytes = bits_le_to_bytes_le([bool(b.value) for b in msg_bits])
+                extra_bytes = bits_le_to_bytes_le([bool(b.value) for b in extra_bits])
+                _, counter = composite_hash_to_g1_cip22().hash_with_attempt_cip22(
+                    SIG_DOMAIN, msg_bytes, extra_bytes
+                )
+            counter_bits = [
+                Boolean.new_witness(cs, bool((counter >> i) & 1)) for i in range(8)
+            ]
+            return enforce_hash_to_group(
+                cs, counter_bits, msg_bits, extra_bits, generate_constraints_for_hash
+            )
+
+    def constrain(self, cs, previous_index: FpVar, generate_constraints_for_hash: bool):
+        """Full epoch-data constraint (epoch_data.rs:101-139): bit encoding,
+        next-epoch sequencing, and the in-circuit message hash.
+
+        Returns a dict with index/entropies/max_non_signers/message_hash/
+        pubkeys/first/last bits/crh/xof bits (ConstrainedEpochData parity)."""
+        with cs.ns("EpochData"):
+            (
+                bits,
+                extra_bits,
+                first_bits,
+                last_bits,
+                index,
+                epoch_entropy,
+                parent_entropy,
+                maxns,
+                pubkeys,
+            ) = self.to_bits(cs)
+            self.enforce_next_epoch(cs, previous_index, index)
+            message_hash, crh_bits, xof_bits = self.hash_bits_to_g1(
+                cs, bits, extra_bits, generate_constraints_for_hash
+            )
+            return {
+                "index": index,
+                "epoch_entropy": epoch_entropy,
+                "parent_entropy": parent_entropy,
+                "maximum_non_signers": maxns,
+                "message_hash": message_hash,
+                "pubkeys": pubkeys,
+                "combined_first_epoch_bits": first_bits,
+                "combined_last_epoch_bits": last_bits,
+                "crh_bits": crh_bits,
+                "xof_bits": xof_bits,
+            }
