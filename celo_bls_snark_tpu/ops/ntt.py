@@ -9,8 +9,8 @@ uses reshapes/rolls only — no gathers.
 Host oracle: snark/groth16.py fft() (cross-validated in tests/test_ntt.py).
 
 Sharding: with N lanes split over a mesh axis, the first log2(n_dev) stages
-exchange halves across chips; run under shard_map the concatenate lowers
-to collective permutes. sharded_ntt() implements the all-gather variant.
+exchange halves across chips; run under shard_map the reshapes lower to
+collective permutes (parallel/mesh.py hosts the mesh entry points).
 """
 
 from functools import lru_cache

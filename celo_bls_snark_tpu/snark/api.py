@@ -20,6 +20,11 @@ from .groth16 import Engine, Proof, VerifyingKey
 from .serialize_bw6 import proof_from_bytes, vk_from_bytes
 
 
+class SynthesisError(Exception):
+    """Prover-side failure (ark SynthesisError analogue): unsatisfied
+    witness, bad transition count, or an unsupported mode."""
+
+
 BW6_761_ENGINE = Engine(
     "bw6_761",
     BW_FR,
@@ -102,18 +107,21 @@ def _to_dummy_update(num_validators: int):
 
 def trusted_setup(num_validators: int, num_epochs: int, maximum_non_signers: int,
                   rng, hashes_in_bls12_377: bool = False) -> Parameters:
-    """setup.rs:30-46. The 2-SNARK (hashes_in_bls12_377=True) outer circuit
-    still verifies the helper proof natively out-of-circuit for now
-    (ROADMAP: in-circuit Groth16 recursion)."""
+    """setup.rs:30-46. hashes_in_bls12_377=True selects the 2-SNARK split:
+    XOF constraints move to a BLS12-377 helper circuit whose Groth16 proof
+    the outer circuit must verify in-circuit (epoch_bits.rs:104-132).
+    Until that recursion gadget lands, requesting the mode raises — the
+    alternative (witnessing XOF bits unchecked) would be unsound."""
     from ..relations.r1cs import ConstraintSystem
     from .epochs import ValidatorSetUpdate
-    from .hash_to_bits_circuit import HashToBits
 
     helper_pk = None
     if hashes_in_bls12_377:
-        cs = ConstraintSystem(g16.BLS12_377_ENGINE.fr, "setup")
-        HashToBits.empty(num_epochs).generate_constraints(cs)
-        helper_pk = g16.generate_parameters(cs, g16.BLS12_377_ENGINE, rng)
+        raise SynthesisError(
+            "2-SNARK mode (hashes_in_bls12_377) requires in-circuit Groth16 "
+            "verification of the helper proof, which is not implemented yet; "
+            "proving with unconstrained XOF witnesses would be unsound"
+        )
 
     cs = ConstraintSystem(BW_FR, "setup")
     circuit = ValidatorSetUpdate.empty(
@@ -134,9 +142,15 @@ def prove(parameters: Parameters, num_validators: int, initial_epoch: EpochBlock
     from ..relations.r1cs import ConstraintSystem
     from .epochs import ValidatorSetUpdate
 
+    if not transitions:
+        raise SynthesisError("prove() needs at least one epoch transition")
     num_dummy = 0
     if max_transitions > 0:
-        assert max_transitions >= len(transitions)
+        if max_transitions < len(transitions):
+            raise SynthesisError(
+                f"more transitions ({len(transitions)}) than the circuit "
+                f"supports ({max_transitions})"
+            )
         num_dummy = max_transitions - len(transitions)
     updates = [_to_update(t) for t in transitions[:-1]]
     updates += [_to_dummy_update(num_validators) for _ in range(num_dummy)]
@@ -156,7 +170,10 @@ def prove(parameters: Parameters, num_validators: int, initial_epoch: EpochBlock
     cs = ConstraintSystem(BW_FR, "prove")
     circuit.generate_constraints(cs)
     bad = cs.which_is_unsatisfied()
-    assert bad is None, f"witness generation produced unsatisfied constraint: {bad}"
+    if bad is not None:
+        raise SynthesisError(
+            f"witness generation produced unsatisfied constraint: {bad}"
+        )
     return g16.create_proof_no_zk(parameters.epochs, cs, BW6_761_ENGINE)
 
 

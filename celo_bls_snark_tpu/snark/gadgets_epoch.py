@@ -7,9 +7,9 @@ Parity with crates/epoch-snark/src/gadgets/{mod,epoch_data}.rs:
   - enforce_next_epoch: index == previous + 1 unless dummy (index 0)
     (epoch_data.rs:224-233)
 
-The message-hash leg (hash_bits_to_g1 -> HashToGroupGadget) joins once the
-Pedersen CRH gadget lands (ROADMAP.md); the CRH->XOF half is already
-available as gadgets/hash_to_bits.py.
+The message-hash leg (hash_bits_to_g1 -> gadgets/hash_to_group.py, with
+the Pedersen CRH + Blake2Xs gadgets) is wired in via EpochDataGadget
+.hash_bits_to_g1 below (epoch_data.rs:237-301 parity).
 """
 
 from ..hostmath.params import P

@@ -2,8 +2,8 @@
 
 Needed because the reference's Blake2Xs XOF instances use fanout=0 and
 max_depth=0 (crates/bls-crypto/src/hashers/direct.rs:59-69), and Python's
-hashlib rejects depth=0. Host-side only; the batched device XOF kernel lives
-in celo_bls_snark_tpu/ops/blake2s.py.
+hashlib rejects depth=0. This module is the host-side single-message path
+and the bit-exactness oracle for the batched device kernel (ops/blake2s.py).
 """
 
 MASK32 = 0xFFFFFFFF

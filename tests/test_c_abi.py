@@ -83,12 +83,10 @@ class TestCABI:
         )
 
     def test_snark_verify_pinned(self, lib):
-        src = open("/root/reference/crates/bls-snark-sys/src/snark/mod.rs").read()
+        import vectors_snark
 
         def grab(name):
-            return bytes.fromhex(
-                re.search(rf'const {name}: &str = "([0-9a-f]+)"', src).group(1)
-            )
+            return bytes.fromhex(getattr(vectors_snark, name))
 
         class EpochBlockFFI(ctypes.Structure):
             _fields_ = [

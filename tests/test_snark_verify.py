@@ -7,9 +7,9 @@ the epoch commitment hashing, BW6-Fr packing, and Groth16-over-BW6
 verification are all bit-compatible with the deployed system.
 """
 
-import re
-
 import pytest
+
+import vectors_snark
 
 from celo_bls_snark_tpu.bls import PublicKey
 from celo_bls_snark_tpu.hostmath import bw6
@@ -24,11 +24,8 @@ from celo_bls_snark_tpu.snark.serialize_bw6 import (
     vk_to_bytes,
 )
 
-_SRC = open("/root/reference/crates/bls-snark-sys/src/snark/mod.rs").read()
-
-
 def _grab(name):
-    return bytes.fromhex(re.search(rf'const {name}: &str = "([0-9a-f]+)"', _SRC).group(1))
+    return bytes.fromhex(getattr(vectors_snark, name))
 
 
 def _pks(data):
