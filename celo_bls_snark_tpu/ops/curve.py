@@ -169,17 +169,21 @@ def make_curve_ops(F):
         bits = jnp.broadcast_to(bits[:, None], (nb, *batch))
         return scalar_mul_bits(bits, pt)
 
-    def msum(p, fold_lanes: int = 128):
-        """Sum over the last batch axis -> batch of size 1.
+    def msum_groups(p, groups: int = 1, fold_lanes: int = 128):
+        """Per-group lane sums: [G*B] (G equal contiguous groups) -> [G].
 
         Two phases, both with compile cost INDEPENDENT of B (a handful of
         kernel call sites instead of log2(B) distinct tree levels):
-          1. work-efficient scan-fold: [B] -> [fold_lanes] accumulating
-             chunks of fold_lanes lanes per scan step;
+          1. work-efficient scan-fold: each group [B] -> [fold_lanes],
+             accumulating chunks of fold_lanes lanes per scan step (all
+             groups ride the same scan, lanes side by side);
           2. recursive-doubling all-reduce on the remaining lanes
-             (x += roll(x, 2^l), log2 rounds in one fori_loop body).
+             (x += roll-within-group(x, 2^l), log2 rounds).
         """
-        B = jax.tree.leaves(p)[0].shape[-1]
+        G = groups
+        total = jax.tree.leaves(p)[0].shape[-1]
+        assert total % G == 0, (total, G)
+        B = total // G
         L = min(fold_lanes, B)
         # round L down to a power of two
         while L & (L - 1):
@@ -188,31 +192,55 @@ def make_curve_ops(F):
         if pad:
             infp = infinity((pad,))
             p = jax.tree.map(
-                lambda x, i: jnp.concatenate([x, i], axis=-1), p, infp
+                lambda x, i: jnp.concatenate(
+                    [
+                        x.reshape(*x.shape[:-1], G, B),
+                        jnp.broadcast_to(
+                            i[..., None, :], (*x.shape[:-1], G, pad)
+                        ),
+                    ],
+                    axis=-1,
+                ).reshape(*x.shape[:-1], G * (B + pad)),
+                p,
+                infp,
             )
             B += pad
         if B > L:
             k = B // L
             chunks = jax.tree.map(
-                lambda x: x.reshape(*x.shape[:-1], k, L).swapaxes(0, -2), p
+                lambda x: jnp.moveaxis(
+                    x.reshape(*x.shape[:-1], G, k, L), -2, 0
+                ).reshape(k, *x.shape[:-1], G * L),
+                p,
             )
-            # chunks leaves: [k, n, L]; scan-fold over k
+            # chunks leaves: [k, n, G*L]; scan-fold over k
             def step(acc, chunk):
                 return add(acc, chunk), None
 
             first = jax.tree.map(lambda x: x[0], chunks)
             rest = jax.tree.map(lambda x: x[1:], chunks)
             p, _ = jax.lax.scan(step, first, rest)
-        # recursive-doubling all-reduce over the last L lanes
+        # recursive-doubling all-reduce over the last L lanes of each group
         rounds = L.bit_length() - 1
 
         def body(l, x):
             shift = jnp.left_shift(jnp.int32(1), l)
-            rolled = jax.tree.map(lambda a: jnp.roll(a, -shift, axis=-1), x)
+            rolled = jax.tree.map(
+                lambda a: jnp.roll(
+                    a.reshape(*a.shape[:-1], G, L), -shift, axis=-1
+                ).reshape(a.shape),
+                x,
+            )
             return add(x, rolled)
 
         p = jax.lax.fori_loop(0, rounds, body, p)
-        return jax.tree.map(lambda x: x[..., :1], p)
+        return jax.tree.map(
+            lambda x: x.reshape(*x.shape[:-1], G, L)[..., 0], p
+        )
+
+    def msum(p, fold_lanes: int = 128):
+        """Sum over the last batch axis -> batch of size 1."""
+        return msum_groups(p, 1, fold_lanes)
 
     class Ops:
         pass
@@ -231,6 +259,7 @@ def make_curve_ops(F):
     ops.scalar_mul_bits = scalar_mul_bits
     ops.scalar_mul_const = scalar_mul_const
     ops.msum = msum
+    ops.msum_groups = msum_groups
     return ops
 
 

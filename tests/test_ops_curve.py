@@ -74,3 +74,51 @@ class TestG2:
         )
         assert out == [hc.G2.add(a, b) for a, b in zip(qs, qs[1:] + qs[:1])]
         assert dc.g2_unpack(jax.jit(dc.g2.msum)(dc.g2_pack(qs))) == [hc.G2.msum(qs)]
+
+
+class TestMsumGroupsAndGroupedVerify:
+    def test_msum_groups(self, g1pts):
+        _, pts = g1pts
+        # 2 groups of 4 lanes, fold_lanes smaller than group
+        out = dc.g1_unpack(
+            jax.jit(lambda p: dc.g1.msum_groups(p, 2, fold_lanes=2))(
+                dc.g1_pack(pts)
+            )
+        )
+        assert out == [hc.G1.msum(pts[:4]), hc.G1.msum(pts[4:])]
+        # 4 groups of 2
+        out = dc.g1_unpack(dc.g1.msum_groups(dc.g1_pack(pts), 4))
+        assert out == [hc.G1.msum(pts[i : i + 2]) for i in range(0, 8, 2)]
+        # group size not a multiple of fold_lanes (padding path)
+        out = dc.g1_unpack(
+            dc.g1.msum_groups(dc.g1_pack(pts[:6]), 2, fold_lanes=4)
+        )
+        assert out == [hc.G1.msum(pts[:3]), hc.G1.msum(pts[3:6])]
+
+    def test_batch_verify_grouped(self):
+        """Grouped pairing check == reference semantics; tamper detected."""
+        from celo_bls_snark_tpu.hostmath.params import G2_GENERATOR
+
+        sk1, sk2 = 1234567, 7654321
+        pk1 = hc.G2.mul(sk1, G2_GENERATOR)
+        pk2 = hc.G2.mul(sk2, G2_GENERATOR)
+        hs = [hc.G1.mul(3 + i, G1_GENERATOR) for i in range(8)]
+        sigs = [hc.G1.mul(sk1, h) for h in hs[:4]] + [
+            hc.G1.mul(sk2, h) for h in hs[4:]
+        ]
+        fn = jax.jit(
+            lambda s, h, pk: dbls.batch_verify_grouped_device(s, h, pk, 2)
+        )
+        ok = fn(dc.g1_pack(sigs), dc.g1_pack(hs), dbls.pack_g2_affine([pk1, pk2]))
+        assert bool(np.asarray(ok)[0])
+        bad = sigs[:3] + [hc.G1.mul(999, hs[3])] + sigs[4:]
+        ok = fn(dc.g1_pack(bad), dc.g1_pack(hs), dbls.pack_g2_affine([pk1, pk2]))
+        assert not bool(np.asarray(ok)[0])
+        # single group (the bench shape)
+        fn1 = jax.jit(
+            lambda s, h, pk: dbls.batch_verify_grouped_device(s, h, pk, 1)
+        )
+        ok = fn1(
+            dc.g1_pack(sigs[:4]), dc.g1_pack(hs[:4]), dbls.pack_g2_affine([pk1])
+        )
+        assert bool(np.asarray(ok)[0])
