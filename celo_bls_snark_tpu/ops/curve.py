@@ -145,6 +145,39 @@ def make_curve_ops(F):
     def select(c, a, b):
         return tree_select(c, a, b)
 
+    def madd(p1, a2):
+        """Branch-free complete MIXED addition: p1 (Jacobian) += a2
+        (affine; (0, 0) encodes infinity). madd-2007-bl + selects — the
+        Pippenger / fixed-base accumulator step (11 core muls vs 20 for
+        the full Jacobian add)."""
+        X1, Y1, Z1 = p1
+        x2, y2 = a2
+        (Z1Z1,) = F.mul_many([(Z1, Z1)])
+        U2, A = F.mul_many([(x2, Z1Z1), (Z1, Z1Z1)])
+        H = F.sub(U2, X1)
+        S2, HH = F.mul_many([(y2, A), (H, H)])
+        rr = F.sub(S2, Y1)
+        inf2x, inf2y, inf1, samex, sames = F.is_zero_many(
+            [x2, y2, Z1, H, rr]
+        )
+        r = F.smul(2, rr)
+        I = F.smul(4, HH)
+        t = F.add(Z1, H)
+        J, V, r2, T2 = F.mul_many([(H, I), (X1, I), (r, r), (t, t)])
+        X3 = F.sub(F.sub(r2, J), F.smul(2, V))
+        Y3a, Y1J = F.mul_many([(r, F.sub(V, X3)), (Y1, J)])
+        Y3 = F.sub(Y3a, F.smul(2, Y1J))
+        Z3 = F.sub(F.sub(T2, Z1Z1), HH)
+        out = (X3, Y3, Z3)
+        inf2 = inf2x & inf2y
+        dbl = double(p1)
+        out = tree_select(samex & sames, dbl, out)
+        batch = jax.tree.leaves(Z1)[0].shape[1:]
+        out = tree_select(samex & ~sames & ~inf1 & ~inf2, infinity(batch), out)
+        out = tree_select(inf1, from_affine(a2), out)
+        out = tree_select(inf2, p1, out)
+        return out
+
     def scalar_mul_bits(bits, pt):
         """Per-lane scalar mul. bits: [nbits, B] uint32 (MSB first)."""
         batch = jax.tree.leaves(pt[0])[0].shape[1:]
@@ -260,17 +293,48 @@ def make_curve_ops(F):
     ops.scalar_mul_const = scalar_mul_const
     ops.msum = msum
     ops.msum_groups = msum_groups
+    ops.madd = madd
     return ops
+
+
+class _Fq761Wrap(_FqWrap):
+    """BW6-761 base-field adapter (both BW6 G1 and G2 live over Fq761;
+    the a=0 Jacobian formulas are curve-constant-free, so one ops instance
+    serves both groups)."""
+
+    from .field import fq761 as _f
+
+    add = staticmethod(_f.add)
+    sub = staticmethod(_f.sub)
+    mul = staticmethod(_f.mul)
+    mul_many = staticmethod(_f.mul_many)
+    sq = staticmethod(_f.sq)
+    neg = staticmethod(_f.neg)
+    inv = staticmethod(_f.inv)
+    is_zero = staticmethod(_f.is_zero)
+    is_zero_many = staticmethod(_f.is_zero_many)
+    eq = staticmethod(_f.eq)
+    select = staticmethod(_f.select)
+    zeros = staticmethod(_f.zeros)
+    ones = staticmethod(_f.ones)
+
+    @staticmethod
+    def smul(k, a):
+        from .field import fq761 as _f
+
+        return _f.mul_small(a, k)
 
 
 g1 = make_curve_ops(_FqWrap)
 g2 = make_curve_ops(_F2Wrap)
+bw6_g1 = make_curve_ops(_Fq761Wrap)  # serves BW6 G2 as well
 
 
 # --- host <-> device point packing ----------------------------------------
 
-def g1_pack(points):
-    """List of affine host points (or None) -> device Jacobian batch."""
+def pack_jac(spec, points):
+    """List of affine host points (or None) -> device Jacobian batch, for
+    any prime-field spec (FQ for BLS12-377 G1, FQ761 for BW6 G1/G2)."""
     xs, ys, zs = [], [], []
     for pt in points:
         if pt is None:
@@ -281,7 +345,31 @@ def g1_pack(points):
             xs.append(pt[0])
             ys.append(pt[1])
             zs.append(1)
-    return (FQ.pack(xs), FQ.pack(ys), FQ.pack(zs))
+    return (spec.pack(xs), spec.pack(ys), spec.pack(zs))
+
+
+def pack_affine(spec, points):
+    """List of affine host points (None = infinity -> (0, 0)) -> (x, y)."""
+    xs = [0 if p is None else p[0] for p in points]
+    ys = [0 if p is None else p[1] for p in points]
+    return (spec.pack(xs), spec.pack(ys))
+
+
+def unpack_jac(curve, spec, dev_pt):
+    """Device Jacobian batch -> list of affine host points (None=infinity)."""
+    import numpy as np
+
+    x, y = curve.to_affine(dev_pt)
+    zs = curve.F.is_zero(dev_pt[2])
+    xs = spec.unpack(x)
+    ys = spec.unpack(y)
+    infs = np.asarray(zs).reshape(-1)
+    return [None if i else (a, b) for a, b, i in zip(xs, ys, infs)]
+
+
+def g1_pack(points):
+    """List of affine host points (or None) -> device Jacobian batch."""
+    return pack_jac(FQ, points)
 
 
 def g1_unpack(dev_pt):

@@ -90,6 +90,28 @@ class FieldSpec:
         """Iterable of ints -> [n, B] int32 Montgomery array (canonical)."""
         return np.stack([self.to_mont(int(v)) for v in values], axis=-1)
 
+    def pack_raw(self, values) -> np.ndarray:
+        """Iterable of ints in [0, p) -> RAW (non-Montgomery) [n, B] limbs,
+        via one bytes pass — numpy-fast for large batches. Convert to
+        Montgomery form on device with ops.from_raw (one kernel call)."""
+        nb = 2 * self.n
+        buf = b"".join(int(v).to_bytes(nb, "little") for v in values)
+        return (
+            np.frombuffer(buf, dtype="<u2")
+            .reshape(-1, self.n)
+            .T.astype(np.int32)
+        )
+
+    def unpack_raw(self, arr) -> list:
+        """RAW canonical [n, B] limbs -> list of ints (numpy-fast)."""
+        a = np.asarray(arr).astype(np.uint16).astype("<u2")
+        buf = a.T.tobytes()
+        nb = 2 * self.n
+        return [
+            int.from_bytes(buf[i * nb : (i + 1) * nb], "little")
+            for i in range(a.shape[-1])
+        ]
+
     def unpack(self, arr) -> list:
         """[n, ...] -> flat list of ints (standard form, mod p applied)."""
         arr = np.asarray(arr)
@@ -255,7 +277,9 @@ def _make_pallas_mul(spec: "FieldSpec"):
 
     def mul(a, b):
         B = a.shape[-1]
-        blk = B if B <= _PALLAS_MAX_BLK else _PALLAS_MAX_BLK
+        # cap VMEM/register footprint: wide-limb fields get smaller blocks
+        cap = _PALLAS_MAX_BLK if n <= 32 else _PALLAS_MAX_BLK // 4
+        blk = B if B <= cap else cap
         while B % blk:
             blk //= 2
         return pl.pallas_call(
@@ -398,6 +422,25 @@ def make_field_ops(spec: FieldSpec):
         )
         return jnp.where((borrow != 0)[None], z, diff).astype(jnp.int32)
 
+    # --- raw (non-Montgomery) boundary: numpy-fast bulk I/O ---------------
+    _r2_raw = int_to_limbs(spec.mont_r2, n)
+
+    def from_raw(a):
+        """RAW canonical limbs (value < p) -> Montgomery form:
+        mont_mul(v, R^2) = v*R. One kernel call."""
+        r2 = jnp.asarray(_r2_raw).reshape(n, *([1] * (a.ndim - 1)))
+        return mul(a, jnp.broadcast_to(r2, a.shape))
+
+    def to_raw(a):
+        """Montgomery (lazy ok) -> RAW canonical limbs in [0, p):
+        mont_mul(v*R, 1) = v, then one conditional subtract."""
+        one = jnp.zeros_like(a).at[0].set(1)
+        z = mul(a, one).astype(jnp.uint32)
+        diff, borrow = _sub_limbs_u32(
+            z, jnp.broadcast_to(jnp.asarray(p_np)[:, None], z.shape)
+        )
+        return jnp.where((borrow != 0)[None], z, diff).astype(jnp.int32)
+
     def pow_const(a, e: int):
         """a^e for a fixed python-int exponent (scan over bits for large e)."""
         if e == 0:
@@ -453,6 +496,8 @@ def make_field_ops(spec: FieldSpec):
     ops.select = select
     ops.canon2p = canon2p
     ops.to_canonical = to_canonical
+    ops.from_raw = from_raw
+    ops.to_raw = to_raw
     ops.pow_const = pow_const
     ops.inv = inv
     ops.legendre_is_qr = legendre_is_qr

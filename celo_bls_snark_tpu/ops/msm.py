@@ -3,17 +3,33 @@
 The Groth16 prover's MSM workload and the PublicKey/Signature::batch path
 (crates/bls-crypto/src/bls/public.rs:47-65, SURVEY.md section 2.5).
 
-TPU-first formulation: "bit-plane" MSM —
-    sum_i k_i P_i = sum_b 2^b * (sum_{i : bit b of k_i} P_i)
-Each bit-plane sum is a masked log-depth tree reduction (lane-parallel
-point adds, no data-dependent scatter — the XLA-friendly replacement for
-Pippenger's bucket scatter, SURVEY.md hard part (b)). Amortized cost is
-~nbits point-adds per point; the roadmap item for Pippenger parity is a
-sort-based segmented bucket reduction.
+Two kernels:
 
-Sharding: points are batch-sharded across the mesh; per-chip partial
-plane-sums combine with one all-gather (parallel/mesh.py::sharded_msm_g1
-uses the dense form; msm_* here are the single-chip kernels).
+1. PIPPENGER (`msm_pippenger`) — the throughput path. TPU-first,
+   scatter-free formulation:
+     - the HOST plans each c-bit window: sort permutation of the points by
+       digit (numpy argsort) + the 2^c-1 bucket-boundary positions;
+     - the DEVICE, per window, gathers points into sorted order, lays them
+       out column-major [L lanes x K], computes per-lane suffix partial
+       sums with one K-step scan of mixed adds (this is the bucket
+       accumulation: B adds), completes suffix sums T_j with a log(L)
+       recursive-doubling pass over lane totals, and applies the
+       telescoping identity
+         sum_i d_i P_i = sum_{b=1}^{2^c-1} T_{pos(b)},
+       pos(b) = first sorted index with digit >= b — so the whole bucket
+       combine is ONE gather + one msum, no scatter anywhere;
+     - windows combine MSB->LSB by Horner doubling.
+   Total work ~ ceil(nbits/c) * B mixed adds + O(2^c) per window — true
+   Pippenger complexity, robust to arbitrarily skewed digit distributions
+   (0/1-heavy witness vectors put thousands of points in one bucket; the
+   suffix formulation does not care).
+
+2. BIT-PLANE (`msm_g1`/`msm_g2`) — the small-batch / no-host-plan form
+   (~nbits adds per point): sum_b 2^b * (masked lane sum).
+
+Plus FIXED-BASE batch scalar multiplication (`fixed_base_batch_mul`) for
+the Groth16 setup's millions of generator multiples: a host-precomputed
+window table [W * 2^c] and one W-step gather+madd scan.
 """
 
 import numpy as np
@@ -21,7 +37,12 @@ import jax
 import jax.numpy as jnp
 
 from . import curve as dc
+from .field import FQ, FQ761
 
+
+# ---------------------------------------------------------------------------
+# Bit-plane MSM (small batches; no host planning)
+# ---------------------------------------------------------------------------
 
 def _bitplane_msm(curve, bits, pts_jac):
     """bits: [nbits, B] (MSB first); pts_jac: Jacobian batch [B].
@@ -51,3 +72,231 @@ def msm_g1(bits, pts_jac):
 
 def msm_g2(bits, pts_jac):
     return _bitplane_msm(dc.g2, bits, pts_jac)
+
+
+# ---------------------------------------------------------------------------
+# Pippenger
+# ---------------------------------------------------------------------------
+
+def _auto_c(B: int, nbits: int = 253) -> int:
+    """Window size minimizing W*(B + 2*2^c)."""
+    best, best_cost = 4, None
+    for c in range(4, 17):
+        W = -(-nbits // c)
+        cost = W * (B + 2 * (1 << c))
+        if best_cost is None or cost < best_cost:
+            best, best_cost = c, cost
+    return best
+
+
+def plan_msm(scalars, nbits: int, c: int, L: int, fast_digits: bool = True):
+    """Host-side window planning. Returns numpy arrays:
+    perm [W, B], lin [W, 2^c-1], lane [W, 2^c-1], valid [W, 2^c-1]
+    (B = len(scalars) padded to a multiple of L; pad scalars are 0)."""
+    B0 = len(scalars)
+    B = B0 + ((-B0) % L)
+    K = B // L
+    W = -(-nbits // c)
+    mask = (1 << c) - 1
+    sc = scalars + [0] * (B - B0)
+    if c == 16 and fast_digits:
+        # fast path: windows ARE the 16-bit little-endian limbs
+        buf = b"".join(int(s).to_bytes(W * 2, "little") for s in sc)
+        digits = (
+            np.frombuffer(buf, dtype="<u2")
+            .reshape(B, W)
+            .T[::-1]
+            .astype(np.int64)
+        )
+    else:
+        digits = np.zeros((W, B), dtype=np.int64)
+        for i, s in enumerate(sc):
+            s = int(s)
+            for w in range(W):
+                digits[W - 1 - w, i] = (s >> (c * w)) & mask
+    perm = np.zeros((W, B), dtype=np.int32)
+    lin = np.zeros((W, (1 << c) - 1), dtype=np.int32)
+    lane = np.zeros((W, (1 << c) - 1), dtype=np.int32)
+    valid = np.zeros((W, (1 << c) - 1), dtype=bool)
+    bvals = np.arange(1, 1 << c)
+    for w in range(W):
+        order = np.argsort(digits[w], kind="stable").astype(np.int32)
+        ds = digits[w][order]
+        pos = np.searchsorted(ds, bvals, side="left")
+        ok = pos < B
+        posc = np.minimum(pos, B - 1)
+        l = posc // K
+        off = posc % K
+        perm[w] = order
+        lin[w] = (K - 1 - off) * L + l
+        lane[w] = l
+        valid[w] = ok
+    return perm, lin, lane, valid, B
+
+
+def plan_msm_generic(scalars, nbits: int, c: int, L: int):
+    """plan_msm with the per-scalar digit loop (oracle for the c=16
+    byte-slicing fast path)."""
+    return plan_msm(scalars, nbits, c, L, fast_digits=False)
+
+
+def _pippenger_device(curve, points_aff, perm, lin, lane, valid, c: int, L: int):
+    """One Jacobian batch-1 point = sum_i scalar_i * P_i (see module doc).
+    points_aff: (x, y) affine leaves [n, B]; plan arrays from plan_msm."""
+    W, B = perm.shape
+    K = B // L
+    nb = lin.shape[1]  # 2^c - 1
+    lanes_iota = jnp.arange(L)
+    inf_L = curve.infinity((L,))
+    inf_nb = curve.infinity((nb,))
+
+    def window(acc, inputs):
+        pw, linw, lanew, validw = inputs
+        # Horner shift of the running accumulator
+        acc = jax.lax.fori_loop(0, c, lambda i, a: curve.double(a), acc)
+        srt = jax.tree.map(lambda t: jnp.take(t, pw, axis=-1), points_aff)
+        # column-major: lane l owns sorted range [l*K, (l+1)*K)
+        steps = jax.tree.map(
+            lambda t: jnp.moveaxis(t.reshape(t.shape[0], L, K), -1, 0)[::-1],
+            srt,
+        )  # leaves [K, n, L], step t = original local offset K-1-t
+
+        def body(a, pt):
+            a2 = curve.madd(a, pt)
+            return a2, a2
+
+        totals, partials = jax.lax.scan(body, inf_L, steps)
+        # inclusive suffix sums of lane totals via recursive doubling
+        def sround(r, x):
+            shift = jnp.left_shift(jnp.int32(1), r)
+            rolled = jax.tree.map(lambda a: jnp.roll(a, -shift, axis=-1), x)
+            wrapped = lanes_iota >= (L - shift)
+            rolled = curve.tree_select(wrapped, inf_L, rolled)
+            return curve.add(x, rolled)
+
+        csuf = jax.lax.fori_loop(0, L.bit_length() - 1, sround, totals)
+        # csuf_next[l] = csuf[l+1], last lane -> infinity
+        csuf_next = curve.tree_select(
+            lanes_iota == L - 1,
+            inf_L,
+            jax.tree.map(lambda a: jnp.roll(a, -1, axis=-1), csuf),
+        )
+        # T at the 2^c-1 bucket boundaries: within-chunk partial + tail
+        Wg = jax.tree.map(
+            lambda t: jnp.take(
+                jnp.moveaxis(t, 0, 1).reshape(t.shape[1], K * L), linw, axis=-1
+            ),
+            partials,
+        )
+        Cg = jax.tree.map(lambda t: jnp.take(t, lanew, axis=-1), csuf_next)
+        T = curve.add(Wg, Cg)
+        T = curve.tree_select(validw, T, inf_nb)
+        wsum = curve.msum(T, fold_lanes=1024)
+        return curve.add(acc, wsum), None
+
+    acc, _ = jax.lax.scan(
+        window,
+        curve.infinity((1,)),
+        (jnp.asarray(perm), jnp.asarray(lin), jnp.asarray(lane), jnp.asarray(valid)),
+    )
+    return acc
+
+
+_PIPPENGER_JIT_CACHE = {}
+
+
+def _pippenger_jit(curve_key, curve, c, L):
+    key = (curve_key, c, L)
+    if key not in _PIPPENGER_JIT_CACHE:
+        _PIPPENGER_JIT_CACHE[key] = jax.jit(
+            lambda pts, perm, lin, lane, valid: _pippenger_device(
+                curve, pts, perm, lin, lane, valid, c, L
+            )
+        )
+    return _PIPPENGER_JIT_CACHE[key]
+
+
+def msm_pippenger(points, scalars, curve=None, spec=None, nbits=None,
+                  c=None, L=None, pack_fn=None, unpack_fn=None):
+    """Host entry: affine host points (None = infinity) x python-int
+    scalars -> affine host point. Defaults to BLS12-377 G1; pass
+    (curve=dc.bw6_g1, spec=FQ761, nbits=377) for BW6-761 G1/G2, or custom
+    pack_fn/unpack_fn for tower-coordinate groups (BLS12-377 G2)."""
+    curve = curve or dc.g1
+    spec = spec or FQ
+    nbits = nbits or 253
+    B0 = len(points)
+    c = c or _auto_c(B0, nbits)
+    if L is None:
+        L = 1 << max(3, min(12, (B0.bit_length() - 1) // 2 + 3))
+    perm, lin, lane, valid, B = plan_msm(list(scalars), nbits, c, L)
+    pts = list(points) + [None] * (B - B0)
+    pts_aff = pack_fn(pts) if pack_fn else dc.pack_affine(spec, pts)
+    fn = _pippenger_jit(id(curve), curve, c, L)
+    out = fn(pts_aff, perm, lin, lane, valid)
+    if unpack_fn is not None:
+        return unpack_fn(out)[0]
+    return dc.unpack_jac(curve, spec, out)[0]
+
+
+# ---------------------------------------------------------------------------
+# Fixed-base batch scalar multiplication (Groth16 setup workload)
+# ---------------------------------------------------------------------------
+
+def fixed_base_plan(scalars, nbits: int, c: int):
+    """digits [W, B] int32: digits[w, i] = window w (LSB-first) of scalar i,
+    offset into the window table (idx = w*2^c + digit)."""
+    B = len(scalars)
+    W = -(-nbits // c)
+    mask = (1 << c) - 1
+    if c in (8, 16):
+        # windows ARE the little-endian bytes / 16-bit limbs (numpy-fast)
+        nb = W * (c // 8)
+        buf = b"".join(int(s).to_bytes(nb, "little") for s in scalars)
+        dt = "<u1" if c == 8 else "<u2"
+        digits = np.frombuffer(buf, dtype=dt).reshape(B, W).T.astype(np.int32)
+    else:
+        digits = np.zeros((W, B), dtype=np.int32)
+        for i, s in enumerate(scalars):
+            s = int(s)
+            for w in range(W):
+                digits[w, i] = (s >> (c * w)) & mask
+    return digits + (np.arange(W, dtype=np.int32) << c)[:, None]
+
+
+def fixed_base_table(curve_host, base, nbits: int, c: int):
+    """Host table: T[w*2^c + m] = m * 2^(c*w) * base (affine, None=inf)."""
+    W = -(-nbits // c)
+    table = []
+    g = base
+    for w in range(W):
+        acc = None
+        for m in range(1 << c):
+            table.append(acc)
+            acc = curve_host.add(acc, g) if acc is not None else g
+        # g <- 2^c * g
+        for _ in range(c):
+            g = curve_host.double(g)
+    return table
+
+
+def _fixed_base_device(curve, table_aff, digits):
+    """digits [W, B] (table-offset encoded); returns Jacobian batch [B]."""
+    def step(acc, dg):
+        pt = jax.tree.map(lambda t: jnp.take(t, dg, axis=-1), table_aff)
+        return curve.madd(acc, pt), None
+
+    B = digits.shape[1]
+    acc, _ = jax.lax.scan(step, curve.infinity((B,)), digits)
+    return acc
+
+
+_FIXED_BASE_JIT_CACHE = {}
+
+
+def fixed_base_batch_mul(curve, curve_key, table_aff, digits):
+    if curve_key not in _FIXED_BASE_JIT_CACHE:
+        _FIXED_BASE_JIT_CACHE[curve_key] = jax.jit(
+            lambda t, d: _fixed_base_device(curve, t, d)
+        )
+    return _FIXED_BASE_JIT_CACHE[curve_key](table_aff, jnp.asarray(digits))
