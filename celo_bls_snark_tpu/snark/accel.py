@@ -1,0 +1,165 @@
+"""Device (TPU) backends for the Groth16 hot paths.
+
+The reference gets its prover/setup throughput from arkworks' rayon MSM +
+FFT (invoked at crates/epoch-snark/src/api/prover.rs:78, setup.rs:87-99);
+here the same stages run as sharded device kernels:
+
+  - msm_g1 / msm_g2        -> Pippenger (ops/msm.py), the prover MSMs
+  - fixed_base_g1/g2       -> window-table batch scalar-mul, the setup's
+                              millions of generator multiples
+  - compute_h_evals        -> the h(X) = (A(X)B(X) - C(X))/t(X) coset
+                              NTT pipeline fully on device (ops/ntt.py)
+
+One DeviceAccel instance per pairing engine ("bls12_377", "bw6_761" — for
+BW6-761 both G1 and G2 live over Fq761, ops/curve.py::bw6_g1). Passed as
+the optional `accel` argument of snark/groth16.py entry points.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..hostmath import curves as hcurves
+from ..hostmath import bw6 as hbw6
+from ..hostmath.params import R as BLS_R, P as BLS_P
+from ..ops import curve as dc
+from ..ops import msm as dmsm
+from ..ops import ntt as dntt
+from ..ops import bls as dbls
+from ..ops.field import FQ, FR, FQ761, fq, fr, fq761
+
+_FIXED_C = 8  # fixed-base window bits (table = W * 256 points, host-cheap)
+
+
+def _pack_affine_f2(points):
+    return dbls.pack_g2_affine(points)
+
+
+def _unpack_jac_f2(dev_pt):
+    return dc.g2_unpack(dev_pt)
+
+
+class _Group:
+    """One group's device plumbing: curve ops + pack/unpack + fixed-base."""
+
+    def __init__(self, key, curve, host_curve, generator, nbits,
+                 pack_fn, unpack_fn, spec=None):
+        self.key = key
+        self.curve = curve
+        self.host_curve = host_curve
+        self.generator = generator
+        self.nbits = nbits
+        self.pack_fn = pack_fn
+        self.unpack_fn = unpack_fn
+        self.spec = spec
+        self._table = None
+
+    def msm(self, bases, scalars, c=None, L=None):
+        return dmsm.msm_pippenger(
+            list(bases),
+            [int(s) for s in scalars],
+            curve=self.curve,
+            nbits=self.nbits,
+            c=c,
+            L=L,
+            pack_fn=self.pack_fn,
+            unpack_fn=self.unpack_fn,
+        )
+
+    def fixed_base_batch(self, scalars):
+        """[k_i] -> [k_i * generator] (host affine points, None=inf)."""
+        if self._table is None:
+            tbl = dmsm.fixed_base_table(
+                self.host_curve, self.generator, self.nbits, _FIXED_C
+            )
+            self._table = jax.tree.map(jnp.asarray, self.pack_fn(tbl))
+        digits = dmsm.fixed_base_plan(
+            [int(s) for s in scalars], self.nbits, _FIXED_C
+        )
+        out = dmsm.fixed_base_batch_mul(self.curve, self.key, self._table, digits)
+        return self.unpack_fn(out)
+
+
+class DeviceAccel:
+    def __init__(self, engine_name: str):
+        self.name = engine_name
+        if engine_name == "bls12_377":
+            self.r = BLS_R
+            self.fspec, self.fops, self.nttops = FR, fr, dntt.ntt_fr
+            self.g1 = _Group(
+                "bls-g1", dc.g1, hcurves.G1, None, 253,
+                lambda pts: dc.pack_affine(FQ, pts),
+                lambda dev: dc.unpack_jac(dc.g1, FQ, dev),
+                spec=FQ,
+            )
+            self.g2 = _Group(
+                "bls-g2", dc.g2, hcurves.G2, None, 253,
+                _pack_affine_f2, _unpack_jac_f2,
+            )
+            from ..hostmath.params import G1_GENERATOR, G2_GENERATOR
+
+            self.g1.generator = G1_GENERATOR
+            self.g2.generator = G2_GENERATOR
+        elif engine_name == "bw6_761":
+            self.r = BLS_P  # BW6-Fr == BLS12-377 Fq
+            self.fspec, self.fops, self.nttops = FQ, fq, dntt.ntt_bw6
+            self.g1 = _Group(
+                "bw6-g1", dc.bw6_g1, hbw6.G1, hbw6.G1_GENERATOR, 377,
+                lambda pts: dc.pack_affine(FQ761, pts),
+                lambda dev: dc.unpack_jac(dc.bw6_g1, FQ761, dev),
+                spec=FQ761,
+            )
+            self.g2 = _Group(
+                "bw6-g2", dc.bw6_g1, hbw6.G2, hbw6.G2_GENERATOR, 377,
+                lambda pts: dc.pack_affine(FQ761, pts),
+                lambda dev: dc.unpack_jac(dc.bw6_g1, FQ761, dev),
+                spec=FQ761,
+            )
+        else:
+            raise ValueError(engine_name)
+        self._h_jit = {}
+
+    # --- Groth16 prover stage: h = (AB - C)/t on the coset ----------------
+    def compute_h_evals(self, a_evals, b_evals, c_evals, d: int, g: int):
+        """Domain evaluations (lists of ints mod r) -> h coefficients
+        [0, d-1) — the coset-NTT pipeline of groth16._compute_h, fully on
+        device: 3 iNTT + 3 coset NTT + pointwise + 1 coset iNTT."""
+        r = self.r
+        spec, f = self.fspec, self.fops
+        t_c_inv = pow((pow(g, d, r) - 1) % r, -1, r)
+        if d not in self._h_jit:
+            nttops = self.nttops
+            tinv_c = spec.const(t_c_inv, (1,))
+
+            @jax.jit
+            def pipeline(a_raw, b_raw, c_raw):
+                a = f.from_raw(a_raw)
+                b = f.from_raw(b_raw)
+                c = f.from_raw(c_raw)
+                ac = nttops.ntt(a, inverse=True)
+                bc = nttops.ntt(b, inverse=True)
+                cc = nttops.ntt(c, inverse=True)
+                ae = nttops.coset_ntt(ac, g)
+                be = nttops.coset_ntt(bc, g)
+                ce = nttops.coset_ntt(cc, g)
+                hc_ = f.sub(f.mul(ae, be), ce)
+                hc_ = f.mul(hc_, jnp.broadcast_to(tinv_c, hc_.shape))
+                h = nttops.coset_intt(hc_, g)
+                return f.to_raw(h)
+
+            self._h_jit[d] = pipeline
+        out = self._h_jit[d](
+            jnp.asarray(self.fspec.pack_raw(a_evals)),
+            jnp.asarray(self.fspec.pack_raw(b_evals)),
+            jnp.asarray(self.fspec.pack_raw(c_evals)),
+        )
+        return self.fspec.unpack_raw(np.asarray(out))[: d - 1]
+
+
+_ACCEL_CACHE = {}
+
+
+def get_accel(engine_name: str) -> DeviceAccel:
+    if engine_name not in _ACCEL_CACHE:
+        _ACCEL_CACHE[engine_name] = DeviceAccel(engine_name)
+    return _ACCEL_CACHE[engine_name]

@@ -186,9 +186,11 @@ def _qap_evals_at_tau(cs, tau, engine):
     return u, v, w, t_at_tau, d
 
 
-def generate_parameters(cs, engine, rng):
+def generate_parameters(cs, engine, rng, accel=None):
     """Trusted setup (ark generate_random_parameters semantics). `cs` must be
-    a setup-mode-synthesized ConstraintSystem over engine.fr."""
+    a setup-mode-synthesized ConstraintSystem over engine.fr. With `accel`
+    (snark/accel.py DeviceAccel) the generator multiples run as device
+    fixed-base batch kernels."""
     r = engine.fr
 
     def fr_rand():
@@ -205,6 +207,43 @@ def generate_parameters(cs, engine, rng):
     G1g, G2g = engine.g1_gen, engine.g2_gen
     ginv = pow(gamma, -1, r)
     dinv = pow(delta, -1, r)
+
+    nvars = len(u)
+    if accel is not None:
+        # device fixed-base batches: one kernel run per query array
+        def g1batch(ks):
+            return accel.g1.fixed_base_batch([k % r for k in ks])
+
+        def g2batch(ks):
+            return accel.g2.fixed_base_batch([k % r for k in ks])
+
+        abc = [(beta * u[i] + alpha * v[i] + w[i]) % r for i in range(nvars)]
+        singles = g1batch([alpha, beta, delta])
+        alpha_g1, beta_g1, delta_g1 = singles
+        beta_g2, gamma_g2, delta_g2 = g2batch([beta, gamma, delta])
+        # powers of tau for the h query
+        taus = []
+        acc = t_at_tau * dinv % r
+        for _ in range(d - 1):
+            taus.append(acc)
+            acc = acc * tau % r
+        vk = VerifyingKey(
+            alpha_g1=alpha_g1,
+            beta_g2=beta_g2,
+            gamma_g2=gamma_g2,
+            delta_g2=delta_g2,
+            gamma_abc_g1=g1batch([abc[i] * ginv for i in range(ni)]),
+        )
+        return ProvingKey(
+            vk=vk,
+            beta_g1=beta_g1,
+            delta_g1=delta_g1,
+            a_query=g1batch(u),
+            b_g1_query=g1batch(v),
+            b_g2_query=g2batch(v),
+            h_query=g1batch(taus),
+            l_query=g1batch([abc[i] * dinv for i in range(ni, nvars)]),
+        )
 
     # fixed-base window tables: the setup is thousands of generator multiples
     t1 = g1.fixed_base_table(G1g, nbits=r.bit_length())
@@ -225,7 +264,6 @@ def generate_parameters(cs, engine, rng):
             g1mul((beta * u[i] + alpha * v[i] + w[i]) * ginv) for i in range(ni)
         ],
     )
-    nvars = len(u)
     pk = ProvingKey(
         vk=vk,
         beta_g1=g1mul(beta),
@@ -242,8 +280,9 @@ def generate_parameters(cs, engine, rng):
     return pk
 
 
-def _compute_h(cs, engine):
-    """h(X) = (A(X) B(X) - C(X)) / t(X) coefficients, via coset FFTs."""
+def _compute_h(cs, engine, accel=None):
+    """h(X) = (A(X) B(X) - C(X)) / t(X) coefficients, via coset FFTs
+    (on device when `accel` is given)."""
     r = engine.fr
     nc = cs.num_constraints
     ni = cs.num_instance
@@ -262,6 +301,10 @@ def _compute_h(cs, engine):
         c_evals[j] = sum(coeff * z[col] for coeff, col in C[j]) % r
     for i in range(ni):
         a_evals[nc + i] = z[i]
+    if accel is not None:
+        return accel.compute_h_evals(
+            a_evals, b_evals, c_evals, d, engine.fr_generator
+        )
     a_coeffs = ifft(a_evals, omega, r)
     b_coeffs = ifft(b_evals, omega, r)
     c_coeffs = ifft(c_evals, omega, r)
@@ -284,20 +327,29 @@ def _compute_h(cs, engine):
     return h_coeffs[: d - 1]
 
 
-def create_proof_no_zk(pk: ProvingKey, cs, engine) -> Proof:
+def create_proof_no_zk(pk: ProvingKey, cs, engine, accel=None) -> Proof:
     """Prover with r = s = 0 (the reference's create_proof_no_zk,
-    crates/epoch-snark/src/api/prover.rs:78)."""
+    crates/epoch-snark/src/api/prover.rs:78). With `accel`, the 4 MSMs and
+    the h-polynomial coset NTTs run on device — the stage the reference
+    parallelizes with rayon inside ark-groth16 (SURVEY.md section 2.5)."""
     r = engine.fr
     g1, g2 = engine.g1, engine.g2
     z = cs.full_assignment()
     ni = cs.num_instance
-    h = _compute_h(cs, engine)
+    h = _compute_h(cs, engine, accel)
 
-    def msm_g1(bases, scalars):
-        return g1.msm([s % r for s in scalars], list(bases))
+    if accel is not None:
+        def msm_g1(bases, scalars):
+            return accel.g1.msm(bases, [s % r for s in scalars])
 
-    def msm_g2(bases, scalars):
-        return g2.msm([s % r for s in scalars], list(bases))
+        def msm_g2(bases, scalars):
+            return accel.g2.msm(bases, [s % r for s in scalars])
+    else:
+        def msm_g1(bases, scalars):
+            return g1.msm([s % r for s in scalars], list(bases))
+
+        def msm_g2(bases, scalars):
+            return g2.msm([s % r for s in scalars], list(bases))
 
     a = g1.add(pk.vk.alpha_g1, msm_g1(pk.a_query, z))
     b_g2 = g2.add(pk.vk.beta_g2, msm_g2(pk.b_g2_query, z))

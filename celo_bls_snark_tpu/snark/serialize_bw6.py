@@ -62,6 +62,37 @@ def point_from_bytes(data: bytes, curve, validate=True):
     return pt
 
 
+def point_to_bytes_uncompressed(pt) -> bytes:
+    """ark-serialize 0.3 uncompressed SW affine: x || y LE, flags in the
+    final byte of y (infinity only)."""
+    if pt is None:
+        buf = bytearray(2 * FQ_BYTES)
+        buf[-1] |= FLAG_INFINITY
+        return bytes(buf)
+    x, y = pt
+    return _fq_to_bytes(x) + _fq_to_bytes(y)
+
+
+def point_from_bytes_uncompressed(data: bytes, curve, validate=True):
+    if len(data) != 2 * FQ_BYTES:
+        raise SerializationError("bad uncompressed point length")
+    buf = bytearray(data)
+    infinity = bool(buf[-1] & FLAG_INFINITY)
+    buf[-1] &= ~(FLAG_GREATEST | FLAG_INFINITY) & 0xFF
+    x = int.from_bytes(bytes(buf[:FQ_BYTES]), "little")
+    y = int.from_bytes(bytes(buf[FQ_BYTES:]), "little")
+    if infinity:
+        if x or y:
+            raise SerializationError("infinity with nonzero coords")
+        return None
+    if x >= Q or y >= Q:
+        raise SerializationError("coordinate out of range")
+    if validate:
+        if (y * y - (x * x % Q * x + curve.b)) % Q:
+            raise SerializationError("point not on curve")
+    return (x, y)
+
+
 def proof_from_bytes(data: bytes, validate=True) -> Proof:
     if len(data) != 3 * FQ_BYTES:
         raise SerializationError("bad proof length")

@@ -178,3 +178,28 @@ def fq_rand(rng, p: int, n_limbs: int, shave_bits: int, mont_r: int) -> int:
             v |= l << (64 * i)
         if v < p:
             return v * pow(mont_r, -1, p) % p
+
+
+class OsRng:
+    """OS-entropy RNG (the `rand::thread_rng()` stand-in for FFI key
+    generation, signatures.rs:19-25)."""
+
+    def gen_u8(self) -> int:
+        import os
+
+        return os.urandom(1)[0]
+
+    def gen_u32(self) -> int:
+        import os
+
+        return int.from_bytes(os.urandom(4), "little")
+
+    def gen_u64(self) -> int:
+        import os
+
+        return int.from_bytes(os.urandom(8), "little")
+
+    def fill_bytes(self, n: int) -> bytes:
+        import os
+
+        return os.urandom(n)

@@ -110,3 +110,108 @@ class TestBW6:
         out = pack(bits)
         assert len(out) == 2
         assert out[0] == 1 << 375  # first chunk is 376 bits, BE
+
+
+class TestGroth16DeviceAccel:
+    """Device-backed setup/prover (snark/accel.py) vs the host path: with
+    the same rng and r = s = 0 the proving key and proof are DETERMINISTIC,
+    so the two paths must agree bit-for-bit."""
+
+    def _synth(self, E):
+        from celo_bls_snark_tpu.relations.r1cs import ConstraintSystem
+        from celo_bls_snark_tpu.gadgets.vars import FpVar
+
+        def synth(cs, x=None, w=None):
+            xv = FpVar.new_input(cs, x)
+            wv = FpVar.new_witness(cs, w)
+            wv.mul(wv).enforce_equal(xv)
+            # a few more rows so the domain/h-query are non-trivial
+            a = wv.mul(wv)
+            b = a.mul(wv)
+            b.mul(wv).enforce_equal(xv.mul(xv))
+
+        return synth
+
+    def _roundtrip(self, E, accel_name):
+        from celo_bls_snark_tpu.relations.r1cs import ConstraintSystem
+        from celo_bls_snark_tpu.snark.accel import get_accel
+        from celo_bls_snark_tpu.utils.rngs import XorShiftRng
+
+        synth = self._synth(E)
+        accel = get_accel(accel_name)
+        cs_setup = ConstraintSystem(E.fr, "setup")
+        synth(cs_setup)
+        pk_dev = g16.generate_parameters(
+            cs_setup, E, XorShiftRng(b"accel-g16-test00"), accel=accel
+        )
+        pk_host = g16.generate_parameters(
+            cs_setup, E, XorShiftRng(b"accel-g16-test00")
+        )
+        assert pk_dev == pk_host
+        w = 987654321
+        x = w * w % E.fr
+        cs = ConstraintSystem(E.fr, "prove")
+        synth(cs, x, w)
+        proof_dev = g16.create_proof_no_zk(pk_dev, cs, E, accel=accel)
+        proof_host = g16.create_proof_no_zk(pk_host, cs, E)
+        assert proof_dev == proof_host
+        assert g16.verify_proof(pk_dev.vk, proof_dev, [x], E)
+
+    def test_bw6_accel_matches_host(self):
+        self._roundtrip(BW6_761_ENGINE, "bw6_761")
+
+    def test_bls_accel_matches_host(self):
+        from celo_bls_snark_tpu.snark.groth16 import BLS12_377_ENGINE
+
+        self._roundtrip(BLS12_377_ENGINE, "bls12_377")
+
+
+class TestProvingKeySerialization:
+    """setup -> save -> load -> prove round trip (the reference's durable-
+    artifact pattern, crates/epoch-snark/tests/e2e.rs:46-52)."""
+
+    def _pk(self, E):
+        from celo_bls_snark_tpu.relations.r1cs import ConstraintSystem
+        from celo_bls_snark_tpu.gadgets.vars import FpVar
+        from celo_bls_snark_tpu.utils.rngs import XorShiftRng
+
+        def synth(cs, x=None, w=None):
+            xv = FpVar.new_input(cs, x)
+            wv = FpVar.new_witness(cs, w)
+            wv.mul(wv).enforce_equal(xv)
+
+        cs = ConstraintSystem(E.fr, "setup")
+        synth(cs)
+        return g16.generate_parameters(cs, E, XorShiftRng(b"pk-serde-test-00")), synth
+
+    @pytest.mark.parametrize("engine_name,compressed", [
+        ("bw6_761", False), ("bw6_761", True),
+        ("bls12_377", False), ("bls12_377", True),
+    ])
+    def test_pk_roundtrip(self, engine_name, compressed):
+        from celo_bls_snark_tpu.snark.serialize_pk import pk_to_bytes, pk_from_bytes
+        from celo_bls_snark_tpu.snark.groth16 import BLS12_377_ENGINE
+        from celo_bls_snark_tpu.relations.r1cs import ConstraintSystem
+
+        E = BW6_761_ENGINE if engine_name == "bw6_761" else BLS12_377_ENGINE
+        pk, synth = self._pk(E)
+        blob = pk_to_bytes(pk, engine_name, compressed=compressed)
+        pk2 = pk_from_bytes(blob, engine_name, compressed=compressed, validate=True)
+        assert pk2 == pk
+        # prove with the reloaded key, verify under the original vk
+        w = 31337
+        x = w * w % E.fr
+        cs = ConstraintSystem(E.fr, "prove")
+        synth(cs, x, w)
+        proof = g16.create_proof_no_zk(pk2, cs, E)
+        assert g16.verify_proof(pk.vk, proof, [x], E)
+
+    def test_pk_truncation_rejected(self):
+        from celo_bls_snark_tpu.snark.serialize_pk import pk_to_bytes, pk_from_bytes
+
+        pk, _ = self._pk(BW6_761_ENGINE)
+        blob = pk_to_bytes(pk, "bw6_761")
+        with pytest.raises(ValueError):
+            pk_from_bytes(blob[:-1], "bw6_761")
+        with pytest.raises(ValueError):
+            pk_from_bytes(blob + b"\x00", "bw6_761")
