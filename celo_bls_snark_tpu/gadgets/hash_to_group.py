@@ -82,7 +82,15 @@ def enforce_hash_to_group(cs, counter_bits, message_bits, extra_data_bits,
                           generate_constraints_for_hash: bool):
     """counter_bits: 8 Booleans (LE); message/extra bits: LE bits of bytes.
 
-    Returns (G1Var, crh_bits, xof_bits) — hash_to_group.rs:105-177."""
+    Returns (G1Var, xof_input_bits, xof_bits) — hash_to_group.rs:105-177.
+
+    Divergence from the reference: the second return value is the FULL XOF
+    input (counter || extra_data || crh bits), not the bare CRH bits of
+    hash_to_group.rs:144. It feeds the 2-SNARK helper statement
+    (snark/hash_to_bits_circuit.py), and the actual XOF runs over
+    counter||extra||crh (try_and_increment_cip22.rs:96) — a helper proof
+    over CRH-only bits (prover.rs:101-103, untested upstream) would attest
+    a different hash than the one the circuit uses."""
     with cs.ns("enforce_hash_to_group"):
         _pt, crh_bits = pedersen_crh_gadget(cs, message_bits)
         inp = list(counter_bits) + list(extra_data_bits) + list(crh_bits)
@@ -90,4 +98,4 @@ def enforce_hash_to_group(cs, counter_bits, message_bits, extra_data_bits,
             cs, inp, 512, SIG_DOMAIN, generate_constraints_for_hash
         )
         g1 = hash_to_group(cs, xof_bits)
-        return g1, crh_bits, xof_bits
+        return g1, inp, xof_bits

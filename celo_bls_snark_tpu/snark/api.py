@@ -105,38 +105,129 @@ def _to_dummy_update(num_validators: int):
     )
 
 
+def _dummy_block(num_validators: int) -> EpochBlock:
+    """The native EpochBlock matching _to_dummy_update bit-for-bit (for the
+    hash-helper statement over dummy epochs)."""
+    from ..bls import PublicKey
+    from ..hostmath.params import G2_GENERATOR
+
+    return EpochBlock(
+        index=0,
+        round=0,
+        epoch_entropy=bytes(16),
+        parent_entropy=bytes(16),
+        maximum_non_signers=0,
+        maximum_validators=num_validators,
+        new_public_keys=[PublicKey(G2_GENERATOR)] * num_validators,
+    )
+
+
 def trusted_setup(num_validators: int, num_epochs: int, maximum_non_signers: int,
-                  rng, hashes_in_bls12_377: bool = False) -> Parameters:
+                  rng, hashes_in_bls12_377: bool = False,
+                  device: bool = False) -> Parameters:
     """setup.rs:30-46. hashes_in_bls12_377=True selects the 2-SNARK split:
     XOF constraints move to a BLS12-377 helper circuit whose Groth16 proof
-    the outer circuit must verify in-circuit (epoch_bits.rs:104-132).
-    Until that recursion gadget lands, requesting the mode raises — the
-    alternative (witnessing XOF bits unchecked) would be unsound."""
+    the outer circuit verifies in-circuit (epoch_bits.rs:104-132); the
+    helper keys are generated first so the outer circuit embeds the helper
+    vk as a constant (setup.rs:87-99)."""
+    from ..hostmath.params import R as BLS_FR
     from ..relations.r1cs import ConstraintSystem
-    from .epochs import ValidatorSetUpdate
+    from .epochs import HashToBitsHelper, ValidatorSetUpdate
+    from .hash_to_bits_circuit import HashToBits
+
+    accel = None
+    if device:
+        from .accel import get_accel
+
+        accel = get_accel("bw6_761")
 
     helper_pk = None
+    helper = None
     if hashes_in_bls12_377:
-        raise SynthesisError(
-            "2-SNARK mode (hashes_in_bls12_377) requires in-circuit Groth16 "
-            "verification of the helper proof, which is not implemented yet; "
-            "proving with unconstrained XOF witnesses would be unsound"
+        hcs = ConstraintSystem(BLS_FR, "setup")
+        HashToBits.empty(num_epochs).generate_constraints(hcs)
+        helper_accel = None
+        if device:
+            from .accel import get_accel
+
+            helper_accel = get_accel("bls12_377")
+        helper_pk = g16.generate_parameters(
+            hcs, g16.BLS12_377_ENGINE, rng, accel=helper_accel
         )
+        helper = HashToBitsHelper(vk=helper_pk.vk, proof=None)
 
     cs = ConstraintSystem(BW_FR, "setup")
     circuit = ValidatorSetUpdate.empty(
-        num_validators, num_epochs, hash_helper=helper_pk
+        num_validators, num_epochs, hash_helper=helper
     )
     circuit.generate_constraints(cs)
-    epochs_pk = g16.generate_parameters(cs, BW6_761_ENGINE, rng)
+    epochs_pk = g16.generate_parameters(cs, BW6_761_ENGINE, rng, accel=accel)
     return Parameters(epochs=epochs_pk, hash_to_bits=helper_pk)
 
 
+def xof_input_message_bits(blocks):
+    """Each block's XOF input `counter || extra_data || CRH bytes` as LE
+    bits — the native twin of the bit stream the circuit collects
+    (gadgets/hash_to_group.py enforce_hash_to_group)."""
+    from ..bls import SIG_DOMAIN
+    from ..hash_to_curve import composite_hash_to_g1_cip22
+    from ..hash_to_curve.common import G1_BYTES, hash_length
+    from ..utils.bits import bytes_le_to_bits_le
+
+    h2c = composite_hash_to_g1_cip22()
+    message_bits = []
+    for block in blocks:
+        inner_bytes, extra_bytes = block.encode_inner_to_bytes_cip22()
+        crh_bytes = h2c.hasher.crh(SIG_DOMAIN, inner_bytes, hash_length(G1_BYTES))
+        _, counter = h2c.hash_with_attempt_cip22(
+            SIG_DOMAIN, inner_bytes, extra_bytes
+        )
+        msg = bytes([counter]) + extra_bytes + crh_bytes
+        message_bits.append(bytes_le_to_bits_le(msg, 8 * len(msg)))
+    return message_bits
+
+
+def generate_hash_helper(helper_pk, blocks, device: bool = False):
+    """The 2-SNARK helper proof (prover.rs:85-118): natively compute each
+    epoch's XOF input (counter || extra_data || CRH bytes) and prove the
+    HashToBits circuit tying those inputs to their Blake2Xs outputs.
+
+    Divergences from the reference, both required for a verifying proof:
+    `blocks` is the PADDED update list (prover.rs:57 passes only the real
+    transitions, which cannot satisfy a helper circuit sized for
+    max_transitions and omits the dummy epochs' XOF bits the outer circuit
+    collects), and the message is the full XOF input rather than the bare
+    CRH bytes (see snark/hash_to_bits_circuit.py)."""
+    from ..hostmath.params import R as BLS_FR
+    from ..relations.r1cs import ConstraintSystem
+    from .epochs import HashToBitsHelper
+    from .hash_to_bits_circuit import HashToBits
+
+    message_bits = xof_input_message_bits(blocks)
+    cs = ConstraintSystem(BLS_FR, "prove")
+    HashToBits(message_bits).generate_constraints(cs)
+    bad = cs.which_is_unsatisfied()
+    if bad is not None:
+        raise SynthesisError(
+            f"hash helper witness unsatisfied constraint: {bad}"
+        )
+    accel = None
+    if device:
+        from .accel import get_accel
+
+        accel = get_accel("bls12_377")
+    proof = g16.create_proof_no_zk(
+        helper_pk, cs, g16.BLS12_377_ENGINE, accel=accel
+    )
+    return HashToBitsHelper(vk=helper_pk.vk, proof=proof)
+
+
 def prove(parameters: Parameters, num_validators: int, initial_epoch: EpochBlock,
-          transitions, max_transitions: int = 0):
+          transitions, max_transitions: int = 0, device: bool = False):
     """prover.rs:22-82: pad real transitions with dummy updates inserted
     before the final epoch; aggregate all signatures plus one generator per
-    dummy; prove the ValidatorSetUpdate circuit (no zk randomization)."""
+    dummy; generate the hash-helper proof when in 2-SNARK mode; prove the
+    ValidatorSetUpdate circuit (no zk randomization)."""
     from ..hostmath.params import G1_GENERATOR
     from ..hostmath import curves as hcurves
     from ..relations.r1cs import ConstraintSystem
@@ -156,6 +247,13 @@ def prove(parameters: Parameters, num_validators: int, initial_epoch: EpochBlock
     updates += [_to_dummy_update(num_validators) for _ in range(num_dummy)]
     updates.append(_to_update(transitions[-1]))
 
+    helper = None
+    if parameters.hash_to_bits is not None:
+        blocks = [t.block for t in transitions[:-1]]
+        blocks += [_dummy_block(num_validators) for _ in range(num_dummy)]
+        blocks.append(transitions[-1].block)
+        helper = generate_hash_helper(parameters.hash_to_bits, blocks, device)
+
     asig_pt = hcurves.G1.msum(
         [t.aggregate_signature.pt for t in transitions]
         + [G1_GENERATOR] * num_dummy
@@ -165,7 +263,7 @@ def prove(parameters: Parameters, num_validators: int, initial_epoch: EpochBlock
         updates,
         num_validators,
         asig_pt,
-        hash_helper=parameters.hash_to_bits,
+        hash_helper=helper,
     )
     cs = ConstraintSystem(BW_FR, "prove")
     circuit.generate_constraints(cs)
@@ -174,7 +272,14 @@ def prove(parameters: Parameters, num_validators: int, initial_epoch: EpochBlock
         raise SynthesisError(
             f"witness generation produced unsatisfied constraint: {bad}"
         )
-    return g16.create_proof_no_zk(parameters.epochs, cs, BW6_761_ENGINE)
+    accel = None
+    if device:
+        from .accel import get_accel
+
+        accel = get_accel("bw6_761")
+    return g16.create_proof_no_zk(
+        parameters.epochs, cs, BW6_761_ENGINE, accel=accel
+    )
 
 
 def verify(vk_bytes: bytes, proof_bytes: bytes, first_epoch: EpochBlock, last_epoch: EpochBlock) -> bool:

@@ -1,8 +1,6 @@
 """The ValidatorSetUpdate circuit — the epoch SNARK's main statement.
 
-Parity with crates/epoch-snark/src/gadgets/epochs.rs (non-recursive mode;
-the 2-SNARK helper-proof verification inside the circuit is the remaining
-ROADMAP item — the helper circuit itself already proves e2e):
+Parity with crates/epoch-snark/src/gadgets/epochs.rs (both modes):
 
   enforce: constrain the initial epoch -> loop over updates rotating
   (index, entropy, pubkeys, max_non_signers) via conditional selects on the
@@ -11,9 +9,17 @@ ROADMAP item — the helper circuit itself already proves e2e):
   last-epoch bits and forbids a dummy last epoch; then one in-circuit
   (n+1)-pairing batch verification, and EpochBits.verify_edges exposes the
   Blake2s commitments of the first/last encodings as packed public inputs.
+
+2-SNARK mode (hash_helper set): the Blake2Xs constraints are replaced by an
+in-circuit Groth16 verification (epoch_bits.rs:104-132) of the BLS12-377
+HashToBits helper proof, whose public inputs are the packed XOF-input and
+XOF-output bit streams of every epoch.
 """
 
-from ..hostmath.params import P, G1_GENERATOR, G2_GENERATOR
+from dataclasses import dataclass
+from typing import Optional
+
+from ..hostmath.params import P, R as BLS_FR, G1_GENERATOR, G2_GENERATOR
 from ..relations.r1cs import LinearCombination
 from ..hostmath import curves as hc
 from ..bls import OUT_DOMAIN
@@ -21,17 +27,30 @@ from ..gadgets.vars import Boolean, FpVar
 from ..gadgets.curve_vars import G1Var, G2Var
 from ..gadgets import bls as gbls
 from ..gadgets.blake2s_gadget import blake2s_gadget, blake2s_param_words
+from ..gadgets.groth16_verify import ProofVar, enforce_groth16_verify
 from ..gadgets.pack import multipack
 from .gadgets_epoch import EpochDataGadget, g2_to_bits
 from .single_update import SingleUpdateGadget
 
 # BW6-Fr capacity (gadgets use MODULUS_BITS - 1)
 FR_CAPACITY = P.bit_length() - 1
+# the helper proof's packing capacity is the INNER field's (BLS12-377 Fr)
+BLS_FR_CAPACITY = BLS_FR.bit_length() - 1
+
+
+@dataclass
+class HashToBitsHelper:
+    """The 2-SNARK recursion payload (epochs.rs:36-41): the helper circuit's
+    verifying key (a circuit constant) and its Groth16 proof (a witness;
+    None during setup synthesis)."""
+
+    vk: object                 # groth16.VerifyingKey over BLS12-377
+    proof: Optional[object]    # groth16.Proof over BLS12-377 | None
 
 
 class ValidatorSetUpdate:
     def __init__(self, initial_epoch: EpochDataGadget, epochs, num_validators,
-                 aggregated_signature, hash_helper=None):
+                 aggregated_signature, hash_helper: Optional[HashToBitsHelper] = None):
         self.initial_epoch = initial_epoch
         self.epochs = epochs  # list[SingleUpdateGadget]
         self.num_validators = num_validators
@@ -64,7 +83,7 @@ class ValidatorSetUpdate:
 
             (
                 last_epoch_bits,
-                crh_bits,
+                xof_input_bits,
                 xof_bits,
                 aggregated_pks,
                 message_hashes,
@@ -78,9 +97,15 @@ class ValidatorSetUpdate:
                 cs, list(zip(aggregated_pks, message_hashes)), sig_var
             )
 
+            # 2-SNARK mode: the XOF bits are unconstrained witnesses above,
+            # so the helper proof tying input->XOF MUST be verified here
+            # (epoch_bits.rs:42-52 verify -> verify_proof)
+            if self.hash_helper is not None:
+                self._verify_helper_proof(cs, xof_input_bits, xof_bits)
+
             # public-input commitments (EpochBits::verify_edges)
             self._verify_edges(cs, first_epoch_bits, last_epoch_bits)
-            return crh_bits, xof_bits
+            return xof_input_bits, xof_bits
 
     def _verify_intermediate_epochs(self, cs, first_index, first_entropy,
                                     initial_pubkeys, initial_maxns):
@@ -124,7 +149,7 @@ class ValidatorSetUpdate:
             msg_hashes.append(
                 constrained["message_hash"].select(index_bit, dummy_msg)
             )
-            all_crh += constrained["crh_bits"]
+            all_crh += constrained["xof_input_bits"]
             all_xof += constrained["xof_bits"]
             if i == len(self.epochs) - 1:
                 last_apk = gbls.enforce_aggregated_all_pubkeys(cs, prev_pubkeys)
@@ -136,6 +161,28 @@ class ValidatorSetUpdate:
                 one = LinearCombination.constant(1)
                 cs.enforce_constraint(index_bit.lc(), one, one)
         return last_epoch_bits, all_crh, all_xof, agg_pks, msg_hashes
+
+    def _verify_helper_proof(self, cs, xof_input_bits, xof_bits):
+        """In-circuit Groth16 verification of the HashToBits helper proof
+        (epoch_bits.rs:104-132): its public inputs are the XOF input/output
+        bit streams chunked at the INNER curve's capacity — the exact
+        packing the helper circuit itself applied (hash_to_bits_circuit.py
+        multipack), so a satisfied verifier constraint means every epoch's
+        witnessed XOF bits are the true Blake2Xs of its input bits."""
+        with cs.ns("verify_helper_proof"):
+            def chunks(bits):
+                return [
+                    bits[i : i + BLS_FR_CAPACITY]
+                    for i in range(0, len(bits), BLS_FR_CAPACITY)
+                ]
+
+            proof_var = ProofVar.new_witness(cs, self.hash_helper.proof)
+            enforce_groth16_verify(
+                cs,
+                self.hash_helper.vk,
+                chunks(xof_input_bits) + chunks(xof_bits),
+                proof_var,
+            )
 
     @staticmethod
     def _verify_edges(cs, first_epoch_bits, last_epoch_bits):

@@ -119,7 +119,7 @@ class EpochDataGadget:
     def hash_bits_to_g1(cs, epoch_bits, extra_data_bits, generate_constraints_for_hash):
         """BE bit-vectors -> byte-packed LE input -> witnessed try-and-
         increment counter -> HashToGroupGadget (epoch_data.rs:237-301).
-        Returns (G1Var, crh_bits, xof_bits)."""
+        Returns (G1Var, xof_input_bits, xof_bits)."""
         from ..gadgets.hash_to_group import enforce_hash_to_group
         from ..hash_to_curve import composite_hash_to_g1_cip22
         from ..bls import SIG_DOMAIN
@@ -169,7 +169,7 @@ class EpochDataGadget:
                 pubkeys,
             ) = self.to_bits(cs)
             self.enforce_next_epoch(cs, previous_index, index)
-            message_hash, crh_bits, xof_bits = self.hash_bits_to_g1(
+            message_hash, xof_input_bits, xof_bits = self.hash_bits_to_g1(
                 cs, bits, extra_bits, generate_constraints_for_hash
             )
             return {
@@ -181,6 +181,6 @@ class EpochDataGadget:
                 "pubkeys": pubkeys,
                 "combined_first_epoch_bits": first_bits,
                 "combined_last_epoch_bits": last_bits,
-                "crh_bits": crh_bits,
+                "xof_input_bits": xof_input_bits,
                 "xof_bits": xof_bits,
             }

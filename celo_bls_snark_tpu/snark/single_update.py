@@ -69,6 +69,6 @@ class SingleUpdateGadget:
                 "parent_entropy": epoch["parent_entropy"],
                 "combined_first_epoch_bits": epoch["combined_first_epoch_bits"],
                 "combined_last_epoch_bits": epoch["combined_last_epoch_bits"],
-                "crh_bits": epoch["crh_bits"],
+                "xof_input_bits": epoch["xof_input_bits"],
                 "xof_bits": epoch["xof_bits"],
             }

@@ -75,6 +75,34 @@ class TestValidatorSetUpdate:
         cs = _build(initial, updates, asig)
         assert not cs.is_satisfied()
 
+    def test_xof_streams_match_native_helper_statement(self, chain):
+        """The circuit's collected XOF input/output bits must equal the
+        native hash-helper statement (api.xof_input_message_bits) — the
+        consistency the 2-SNARK recursion relies on."""
+        from celo_bls_snark_tpu.bls import SIG_DOMAIN
+        from celo_bls_snark_tpu.hashers import DirectHasher
+        from celo_bls_snark_tpu.snark.api import _dummy_block, xof_input_message_bits
+        from celo_bls_snark_tpu.snark.epochs import ValidatorSetUpdate
+        from celo_bls_snark_tpu.utils.bits import bits_le_to_bytes_le, bytes_le_to_bits_le
+
+        initial, transitions, _l, updates, asig = chain
+        cs = ConstraintSystem(P, "prove")
+        xof_input_bits, xof_bits = ValidatorSetUpdate(
+            _to_epoch_data(initial), updates, 3, asig
+        ).generate_constraints(cs)
+        blocks = [transitions[0].block, _dummy_block(3), transitions[1].block]
+        native_inputs = xof_input_message_bits(blocks)
+        assert [bool(b.value) for b in xof_input_bits] == [
+            b for epoch in native_inputs for b in epoch
+        ]
+        native_xof = []
+        for epoch in native_inputs:
+            msg = bits_le_to_bytes_le(epoch)
+            native_xof += bytes_le_to_bits_le(
+                DirectHasher().xof(SIG_DOMAIN, msg, 64), 512
+            )
+        assert [bool(b.value) for b in xof_bits] == native_xof
+
     def test_setup_shape_parity(self, chain):
         initial, _t, _l, updates, asig = chain
         cs = _build(initial, updates, asig)
