@@ -270,3 +270,106 @@ def encode_epoch_block_to_bytes_cip22(epoch_block) -> bytes:
 
     assert isinstance(epoch_block, EpochBlock)
     return epoch_block.encode_inner_to_bytes_cip22()
+
+
+# --------------------------------------------------------------------------
+# Object-level surface (the C ABI's opaque-handle calls: the reference FFI
+# passes *const PrivateKey/PublicKey/Signature handles, not bytes —
+# signatures.rs:19-90,244-277,407-505)
+# --------------------------------------------------------------------------
+
+def generate_private_key_obj() -> PrivateKey:
+    from ..utils.rngs import OsRng
+
+    return PrivateKey.generate(OsRng())
+
+
+def private_key_to_public_key_obj(sk: PrivateKey) -> PublicKey:
+    return sk.to_public()
+
+
+def sign_message_obj(sk: PrivateKey, message: bytes, extra_data: bytes,
+                     composite: bool, cip22: bool) -> Signature:
+    return sk.sign(message, extra_data, _get_hasher(composite, cip22))
+
+
+def sign_pop_obj(sk: PrivateKey, message: bytes) -> Signature:
+    # the reference FFI always uses the direct hasher here (signatures.rs:86)
+    return sk.sign_pop(message, _get_hasher(False, False))
+
+
+def verify_signature_obj(pk: PublicKey, message: bytes, extra_data: bytes,
+                         sig: Signature, composite: bool, cip22: bool) -> bool:
+    try:
+        pk.verify(message, extra_data, sig, _get_hasher(composite, cip22))
+        return True
+    except BLSError:
+        return False
+
+
+def verify_pop_obj(pk: PublicKey, message: bytes, sig: Signature) -> bool:
+    try:
+        pk.verify_pop(message, sig, _get_hasher(False, False))
+        return True
+    except BLSError:
+        return False
+
+
+def aggregate_public_keys_objs(pks) -> PublicKey:
+    return PUBLIC_KEY_CACHE.aggregate(list(pks))
+
+
+def aggregate_public_keys_subtract_objs(apk: PublicKey, pks) -> PublicKey:
+    to_sub = PUBLIC_KEY_CACHE.aggregate(list(pks))
+    return PublicKey(curves.G2.add(apk.pt, curves.G2.neg(to_sub.pt)))
+
+
+def aggregate_signatures_objs(sigs) -> Signature:
+    return Signature.aggregate(list(sigs))
+
+
+def batch_verify_objs(messages, composite: bool, cip22: bool) -> bool:
+    """messages: list of (data, extra, PublicKey, Signature) — the
+    MessageFFI shape. Aggregates all signatures then batch-verifies
+    (signatures.rs:280-333)."""
+    if not composite and cip22:
+        raise BLSError("direct CIP22 hasher is not a supported combination")
+    hasher = _get_hasher(composite, cip22)
+    asig = Signature.aggregate([m[3] for m in messages])
+    pks = [m[2] for m in messages]
+    msgs = [(m[0], m[1]) for m in messages]
+    try:
+        asig.batch_verify(pks, SIG_DOMAIN, msgs, hasher)
+        return True
+    except BLSError:
+        return False
+
+
+def batch_verify_strict_objs(batches, composite: bool, cip22: bool,
+                             rng=None):
+    """batches: list of (data, extra, [PublicKey...], [Signature...]) — the
+    BatchMessageFFI shape. Returns per-batch booleans
+    (signatures.rs:336-404)."""
+    results = []
+    for data, extra, pks, sigs in batches:
+        if not composite and cip22:
+            results.append(False)
+            continue
+        hasher = _get_hasher(composite, cip22)
+        try:
+            batch = Batch(data, extra)
+            for pk, sig in zip(pks, sigs):
+                batch.add(pk, sig)
+            batch.verify(hasher, rng=rng)
+            results.append(True)
+        except BLSError:
+            results.append(False)
+    return results
+
+
+def serialize_public_key_uncompressed(pk: PublicKey) -> bytes:
+    return ser.g2_to_bytes(pk.pt, compressed=False)
+
+
+def serialize_signature_uncompressed(sig: Signature) -> bytes:
+    return ser.g1_to_bytes(sig.pt, compressed=False)
