@@ -53,6 +53,22 @@ class _AffineCurveVar:
         return cls(x, y, inf)
 
     @classmethod
+    def new_witness_checked(cls, cs, pt):
+        """Witness allocation WITH the on-curve check, ark's
+        new_variable_omit_prime_order_check shape (r1cs-std SW AffineVar:
+        infinity flag + (y^2 - x^3 - b) * (1 - infinity) == 0). Costs 5
+        constraints for G1, 12 for G2 — the allocation component of the
+        reference's pinned counts (y_to_bit.rs:211,251; bls.rs:401)."""
+        out = cls.new_witness(cs, pt)
+        not_inf = out.infinity.not_()
+        x2 = out.x.square()
+        x3 = x2.mul(out.x)
+        y2 = out.y.square()
+        d = y2.sub(x3.add(cls._b_coeff(cs)))
+        cls._cond_enforce_zero(d, not_inf)
+        return out
+
+    @classmethod
     def constant(cls, cs, pt):
         assert pt is not None
         return cls(
@@ -149,6 +165,14 @@ class G1Var(_AffineCurveVar):
     def _cond_select(cond, t, f):
         return FpVar.conditionally_select(cond, t, f)
 
+    @staticmethod
+    def _b_coeff(cs):
+        return FpVar.const(cs, hc.G1.b)
+
+    @staticmethod
+    def _cond_enforce_zero(d, cond):
+        d.cs.enforce_constraint(d.lc, cond.lc(), LinearCombination())
+
 
 class G2Var(_AffineCurveVar):
     host = hc.G2
@@ -180,6 +204,16 @@ class G2Var(_AffineCurveVar):
     @staticmethod
     def _cond_select(cond, t, f):
         return Fp2Var.conditionally_select(cond, t, f)
+
+    @staticmethod
+    def _b_coeff(cs):
+        return Fp2Var.const(cs, hc.G2.b)
+
+    @staticmethod
+    def _cond_enforce_zero(d, cond):
+        cs = d.cs
+        cs.enforce_constraint(d.c0.lc, cond.lc(), LinearCombination())
+        cs.enforce_constraint(d.c1.lc, cond.lc(), LinearCombination())
 
 
 # mul_const_scalar shims (FpVar has mul_const; Fp2Var has mul_const_fp)

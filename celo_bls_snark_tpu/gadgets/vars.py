@@ -369,9 +369,11 @@ class FpVar:
 
 
 def enforce_smaller_or_equal_than_le(bits, constant: int):
-    """Enforce that the little-endian bits are <= the given constant
-    (ark Boolean::enforce_smaller_or_equal_than_le structure: kary-and over
-    runs of ones, nand checks on zero positions)."""
+    """Enforce that the little-endian bits are <= the given constant —
+    ark Boolean::enforce_smaller_or_equal_than_le replicated operation for
+    operation (kary-and over runs of ones; a MATERIALIZED and-gate plus an
+    enforce-zero per zero position, ark's enforce_kary_nand), so constraint
+    counts match the reference's pinned figures (y_to_bit.rs:211,251)."""
     if not bits:
         return
     cs = bits[0].cs
@@ -388,5 +390,12 @@ def enforce_smaller_or_equal_than_le(bits, constant: int):
                 current_run.append(last_run)
                 last_run = Boolean.kary_and(current_run)
                 current_run = []
-            # enforce NOT(last_run AND a): last_run * a = 0
-            cs.enforce_constraint(last_run.lc(), a.lc(), LinearCombination())
+            # ark enforce_kary_nand([last_run, a]): and-gate, then == 0
+            nand = Boolean.kary_and([last_run, a])
+            if nand.is_constant():
+                assert not nand.constant, "bits exceed constant"
+            else:
+                cs.enforce_constraint(
+                    nand.lc(), LinearCombination.constant(1),
+                    LinearCombination(),
+                )

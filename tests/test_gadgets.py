@@ -132,6 +132,39 @@ class TestYToBit:
             assert bit.value == fp2.is_greatest(pt[1])
             assert cs.is_satisfied()
 
+    def test_constraint_count_parity(self):
+        """Exact parity with the reference's pinned figures: a checked
+        point allocation + y_to_bit costs 1,003 constraints for G1 and
+        2,014 for G2 (y_to_bit.rs:211,251)."""
+        from celo_bls_snark_tpu.gadgets.curve_vars import G1Var, G2Var
+
+        cs = ConstraintSystem(P, "setup")
+        g = G1Var.new_witness_checked(cs, None)
+        gy2b.g1_y_to_bit(cs, g.y)
+        assert cs.num_constraints == 1003
+
+        cs = ConstraintSystem(P, "setup")
+        g = G2Var.new_witness_checked(cs, None)
+        gy2b.g2_y_to_bit(cs, g.y.c0, g.y.c1)
+        assert cs.num_constraints == 2014
+
+    def test_checked_allocation(self):
+        """On-curve witness allocation: valid points and infinity satisfy;
+        an off-curve point must not."""
+        from celo_bls_snark_tpu.gadgets.curve_vars import G1Var, G2Var
+
+        for pt in [G1_GENERATOR, None]:
+            cs = ConstraintSystem(P, "prove")
+            G1Var.new_witness_checked(cs, pt)
+            assert cs.is_satisfied()
+        cs = ConstraintSystem(P, "prove")
+        G1Var.new_witness_checked(cs, (G1_GENERATOR[0], G1_GENERATOR[1] + 1))
+        assert not cs.is_satisfied()
+        for pt in [G2_GENERATOR, None]:
+            cs = ConstraintSystem(P, "prove")
+            G2Var.new_witness_checked(cs, pt)
+            assert cs.is_satisfied()
+
     def test_g2_y_to_bit_c1_zero_branch(self):
         # c1 == 0: lexicographic falls through to c0
         for c0 in [5, P - 5]:
