@@ -1,41 +1,39 @@
-"""Constraint-count reporter.
+"""Constraint-count reporter for the full ValidatorSetUpdate circuit.
 
-Parity with crates/epoch-snark/examples/constraints.rs: print the R1CS
-size for a given configuration. Round-1 scope reports the BLS-verify core
-(per-epoch cost driver of the ValidatorSetUpdate circuit) with namespace
-attribution, the ConstraintLayer-equivalent breakdown.
+Parity: crates/epoch-snark/examples/constraints.rs:15-35 — synthesize the
+empty circuit in setup mode for (num_validators, num_epochs), faults =
+(n-1)/3, and print the R1CS size; plus the namespace-attribution breakdown
+(the ConstraintLayer equivalent, relations/r1cs.py).
 
-Usage: python -m celo_bls_snark_tpu.examples.constraints [num_validators]
+Usage: python -m celo_bls_snark_tpu.examples.constraints [validators] [epochs]
 """
 
 import sys
 
-from ..relations.r1cs import ConstraintSystem
-from ..gadgets.vars import Boolean, FpVar
-from ..gadgets.curve_vars import G1Var, G2Var
-from ..gadgets import bls as gbls
 from ..hostmath.params import P
+from ..relations.r1cs import ConstraintSystem
+from ..snark.epochs import ValidatorSetUpdate
 
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    num_validators = int(argv[0]) if argv else 10
+    num_validators = int(argv[0]) if len(argv) > 0 else 4
+    num_epochs = int(argv[1]) if len(argv) > 1 else 2
+    faults = (num_validators - 1) // 3
 
     cs = ConstraintSystem(P, "setup")
-    pk_vars = [G2Var.new_witness(cs, None) for _ in range(num_validators)]
-    bitmap = [Boolean.new_witness(cs, None) for _ in range(num_validators)]
-    msg_var = G1Var.new_witness(cs, None)
-    sig_var = G1Var.new_witness(cs, None)
-    gbls.verify(cs, pk_vars, bitmap, msg_var, sig_var, FpVar.const(cs, 1))
+    ValidatorSetUpdate.empty(num_validators, num_epochs).generate_constraints(cs)
 
-    print(f"validators: {num_validators}")
-    print(f"constraints: {cs.num_constraints}")
+    print(
+        f"Number of constraints for {num_epochs} epochs ({num_validators} "
+        f"validators, {faults} faults, hashes in BW6_761): {cs.num_constraints}"
+    )
     print(f"instance variables: {cs.num_instance}")
     print(f"witness variables: {cs.num_witness}")
     print("\nby namespace:")
     for ns, count in sorted(
         cs.constraint_counts_by_namespace().items(), key=lambda kv: -kv[1]
-    ):
+    )[:20]:
         print(f"  {count:8d}  {ns or '(root)'}")
 
 

@@ -102,6 +102,19 @@ def batch_verify_grouped_device(sigs_jac, hashes_jac, apks_aff, groups: int):
     return dp.pairing_check_product(p_aff, q_aff)
 
 
+def verify_pairs_device(p_aff, q_aff):
+    """Independent 2-pairing checks, fully batched: lanes 2i and 2i+1 form
+    check i, e(P_{2i}, Q_{2i}) * e(P_{2i+1}, Q_{2i+1}) == 1. One batched
+    Miller pass + ONE batched final exponentiation for ALL checks — the
+    device form of running PublicKey::verify (public.rs:90-117) over many
+    independent (sig, pk, hash) triples at once. Returns bool [B/2]."""
+    f = dp.miller_loop_batch(p_aff, q_aff)
+    even = jax.tree.map(lambda x: x[..., 0::2], f)
+    odd = jax.tree.map(lambda x: x[..., 1::2], f)
+    e = dp.final_exponentiation(tw.f12_mul(even, odd))
+    return tw.f12_is_one(e)
+
+
 def aggregate_g2_device(pubkeys_jac):
     """Sum of a Jacobian G2 batch -> batch-1 point (PublicKey::aggregate)."""
     return dc.g2.msum(pubkeys_jac)

@@ -93,12 +93,12 @@ class TestHashToBitsCircuit:
     def test_helper_circuit(self):
         from celo_bls_snark_tpu.snark.hash_to_bits_circuit import (
             HashToBits,
-            MODULUS_BIT_ROUNDED,
+            XOF_INPUT_BITS,
         )
         from celo_bls_snark_tpu.utils.rngs import XorShiftRng
 
         rng = XorShiftRng(b"hash-to-bits-tst")
-        msg_bits = [[bool(rng.gen_u8() & 1) for _ in range(MODULUS_BIT_ROUNDED)]]
+        msg_bits = [[bool(rng.gen_u8() & 1) for _ in range(XOF_INPUT_BITS)]]
         msg_bytes = bits_le_to_bytes_le(msg_bits[0])
         xof_bits = bytes_le_to_bits_le(DirectHasher().xof(SIG_DOMAIN, msg_bytes, 64), 512)
 
