@@ -48,8 +48,10 @@ def miller_loop_gadget(cs, pairs):
                 c_a = p_var.y
                 c_w = lam.mul_fp(p_var.x.neg())
                 c_w3 = lam.mul(xt).sub(yt)
-                line = _line_to_fp12(cs, c_a, c_w, c_w3)
-                f = line if f is None else f.mul(line)
+                if f is None:
+                    f = _line_to_fp12(cs, c_a, c_w, c_w3)
+                else:
+                    f = f.mul_by_sparse_line(c_a, c_w, c_w3)
                 ts[i] = (x3, y3)
             if bit == "1":
                 for i, (p_var, q_var) in enumerate(pairs):
@@ -60,7 +62,7 @@ def miller_loop_gadget(cs, pairs):
                     c_a = p_var.y
                     c_w = lam.mul_fp(p_var.x.neg())
                     c_w3 = lam.mul(xt).sub(yt)
-                    f = f.mul(_line_to_fp12(cs, c_a, c_w, c_w3))
+                    f = f.mul_by_sparse_line(c_a, c_w, c_w3)
                     ts[i] = (x3, y3)
         return f
 
@@ -71,10 +73,16 @@ def final_exponentiation_gadget(cs, f: Fp12Var):
         finv = f.inverse()
         m = f.conj().mul(finv)            # ^(p^6-1)
         m = m.frobenius_n(2).mul(m)       # ^(p^2+1)
-        t0 = m.pow_const(X - 1).pow_const(X - 1)
-        t1 = t0.pow_const(X).mul(t0.frobenius())
-        t2 = t1.pow_const(X).pow_const(X).mul(t1.frobenius_n(2)).mul(t1.conj())
-        return t2.mul(m.square().mul(m))
+        # m is unitary from here on: cyclotomic squarings throughout
+        t0 = m.cyclotomic_pow_const(X - 1).cyclotomic_pow_const(X - 1)
+        t1 = t0.cyclotomic_pow_const(X).mul(t0.frobenius())
+        t2 = (
+            t1.cyclotomic_pow_const(X)
+            .cyclotomic_pow_const(X)
+            .mul(t1.frobenius_n(2))
+            .mul(t1.conj())
+        )
+        return t2.mul(m.cyclotomic_square().mul(m))
 
 
 def enforce_pairing_product_is_one(cs, pairs):

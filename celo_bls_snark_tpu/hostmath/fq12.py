@@ -177,3 +177,38 @@ def unitary_inv(a):
     """For elements in the cyclotomic subgroup (after the easy part),
     inverse == conjugate."""
     return conj(a)
+
+
+def _fp4_sq(za, zb):
+    """(za + zb y)^2 in Fq4 = Fq2[y]/(y^2 - u): returns (ta, tb) with
+    ta = za^2 + u zb^2, tb = 2 za zb — 2 Fq2 muls (Karatsuba-with-nr)."""
+    tmp = fp2.mul(za, zb)
+    ta = fp2.sub(
+        fp2.sub(
+            fp2.mul(fp2.add(za, zb), fp2.add(za, _mul_by_nonresidue(zb))),
+            tmp,
+        ),
+        _mul_by_nonresidue(tmp),
+    )
+    return ta, fp2.add(tmp, tmp)
+
+
+def cyclotomic_sq(a):
+    """Granger-Scott squaring for unitary elements (the cyclotomic subgroup
+    G_{Phi12(p)}, where every post-easy-part final-exp value lives): 3 Fq4
+    squarings = 6 Fq2 muls, vs 18 for the generic sq(). Oracle for the
+    device kernel (ops/tower.py::f12_cyclo_sq) and the R1CS gadget
+    (gadgets/ext_vars.py::Fp12Var.cyclotomic_square)."""
+    (z0, z4, z3), (z2, z1, z5) = a
+    t0, t1 = _fp4_sq(z0, z1)
+    t2, t3 = _fp4_sq(z2, z3)
+    t4, t5 = _fp4_sq(z4, z5)
+    # z_i' = 3 t - (+/-) 2 z_i, signs per Granger-Scott
+    r0 = fp2.add(fp2.add(fp2.sub(t0, z0), fp2.sub(t0, z0)), t0)
+    r1 = fp2.add(fp2.add(fp2.add(t1, z1), fp2.add(t1, z1)), t1)
+    nt5 = _mul_by_nonresidue(t5)
+    r2 = fp2.add(fp2.add(fp2.add(nt5, z2), fp2.add(nt5, z2)), nt5)
+    r3 = fp2.add(fp2.add(fp2.sub(t4, z3), fp2.sub(t4, z3)), t4)
+    r4 = fp2.add(fp2.add(fp2.sub(t2, z4), fp2.sub(t2, z4)), t2)
+    r5 = fp2.add(fp2.add(fp2.add(t3, z5), fp2.add(t3, z5)), t3)
+    return ((r0, r4, r3), (r2, r1, r5))

@@ -136,20 +136,23 @@ def f12_product(f):
     return f
 
 
-def f12_powx(a, e: int):
-    """a^e for fixed exponent via scan (e > 0)."""
+def f12_powx(a, e: int, cyclo: bool = False):
+    """a^e for fixed exponent via scan (e > 0). cyclo=True uses
+    Granger-Scott cyclotomic squarings (valid only for unitary `a` — the
+    post-easy-part final-exp chains): 18-wide vs 54-wide fq dispatches."""
+    sq = tw.f12_cyclo_sq if cyclo else tw.f12_sq
     nb = e.bit_length()
     if nb <= 2:
         out = a
         for b in bin(e)[3:]:
-            out = tw.f12_sq(out)
+            out = sq(out)
             if b == "1":
                 out = tw.f12_mul(out, a)
         return out
     bits = jnp.asarray([(e >> (nb - 1 - i)) & 1 for i in range(1, nb)], jnp.uint32)
 
     def step(res, bit):
-        res = tw.f12_sq(res)
+        res = sq(res)
         res = tw.f12_select(
             jnp.broadcast_to(bit != 0, jax.tree.leaves(res)[0].shape[1:]),
             tw.f12_mul(res, a),
@@ -167,13 +170,17 @@ def final_exponentiation(f):
     finv = tw.f12_inv(f)
     m = tw.f12_mul(tw.f12_conj(f), finv)      # f^(p^6-1)
     m = tw.f12_mul(tw.f12_frob_n(m, 2), m)    # ^(p^2+1)
-    t0 = f12_powx(f12_powx(m, X - 1), X - 1)  # m^((x-1)^2)
-    t1 = tw.f12_mul(f12_powx(t0, X), tw.f12_frob(t0))  # ^(x+p)
+    # m is unitary from here on: cyclotomic squarings throughout the chains
+    t0 = f12_powx(f12_powx(m, X - 1, cyclo=True), X - 1, cyclo=True)
+    t1 = tw.f12_mul(f12_powx(t0, X, cyclo=True), tw.f12_frob(t0))  # ^(x+p)
     t2 = tw.f12_mul(
-        tw.f12_mul(f12_powx(f12_powx(t1, X), X), tw.f12_frob_n(t1, 2)),
+        tw.f12_mul(
+            f12_powx(f12_powx(t1, X, cyclo=True), X, cyclo=True),
+            tw.f12_frob_n(t1, 2),
+        ),
         tw.f12_conj(t1),
     )  # ^(x^2+p^2-1)
-    return tw.f12_mul(t2, tw.f12_mul(tw.f12_sq(m), m))  # * m^3
+    return tw.f12_mul(t2, tw.f12_mul(tw.f12_cyclo_sq(m), m))  # * m^3
 
 
 def pairing_check_product(p_aff, q_aff):

@@ -243,6 +243,62 @@ def f12_sq(a):
     return f12_mul(a, a)
 
 
+def f12_cyclo_sq(a):
+    """Granger-Scott squaring for unitary elements (the cyclotomic subgroup
+    every post-easy-part final-exp value lives in): 3 Fq4 squarings (6 Fq2
+    muls = 18 fq products) + a mul-by-one canonicalization of the 6 input
+    coefficients (12 fq products), all in ONE 30*B-wide dispatch — vs 54*B
+    for f12_sq per squaring of the final exp's ~315-deep pow chains.
+
+    The canonicalization is load-bearing, not an optimization: the +-2z
+    terms below bypass the Montgomery multiply, so without it the lazy
+    value drift DOUBLES per squaring (V_k = 2 V_{k-1} + O(p)) and a chain
+    blows through the 512p kernel budget after ~5 iterations. Canonical z
+    (< 2p) makes the output bound a constant (< 64p) for arbitrary chains.
+    Oracle: hostmath/fq12.py::cyclotomic_sq."""
+    (z0, z4, z3), (z2, z1, z5) = a
+    zs = (z0, z1, z2, z3, z4, z5)
+    batch = z0[0].shape[1:]
+    one = FQ.ones(batch)
+    pairs, combines = [], []
+    for za, zb in ((z0, z1), (z2, z3), (z4, z5)):
+        p, c = _f2_mul_pairs(za, zb)
+        pairs += p
+        combines.append(c)
+        p, c = _f2_mul_pairs(
+            f2_add(za, zb), f2_add(za, f2_mul_by_nonresidue(zb))
+        )
+        pairs += p
+        combines.append(c)
+    for z in zs:
+        pairs += [(z[0], one), (z[1], one)]
+    res = fq.mul_many(pairs)
+    f2res = [combines[i](res[3 * i : 3 * i + 3]) for i in range(6)]
+    z0, z1, z2, z3, z4, z5 = [
+        (res[18 + 2 * i], res[18 + 2 * i + 1]) for i in range(6)
+    ]
+    ts = []
+    for g in range(3):
+        tmp, s = f2res[2 * g], f2res[2 * g + 1]
+        ta = f2_sub(f2_sub(s, tmp), f2_mul_by_nonresidue(tmp))
+        ts.append((ta, f2_add(tmp, tmp)))
+    (t0, t1), (t2, t3), (t4, t5) = ts
+
+    def m32(t, z):  # 3t - 2z
+        d = f2_sub(t, z)
+        return f2_add(f2_add(d, d), t)
+
+    def p32(t, z):  # 3t + 2z
+        d = f2_add(t, z)
+        return f2_add(f2_add(d, d), t)
+
+    nt5 = f2_mul_by_nonresidue(t5)
+    return (
+        (m32(t0, z0), m32(t2, z4), m32(t4, z3)),
+        (p32(nt5, z2), p32(t1, z1), p32(t3, z5)),
+    )
+
+
 def f12_conj(a):
     return (a[0], f6_neg(a[1]))
 

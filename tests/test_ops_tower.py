@@ -107,3 +107,31 @@ class TestFq6Fq12:
     def test_f12_frob(self):
         a = [rnd12() for _ in range(B)]
         assert un12(jax.jit(tw.f12_frob)(pack12(a))) == [hf12.frob(x) for x in a]
+
+    def _unitary(self):
+        f = rnd12()
+        m = hf12.mul(hf12.conj(f), hf12.inv(f))
+        return hf12.mul(hf12.frob_n(m, 2), m)
+
+    def test_f12_cyclo_sq(self):
+        ms = [self._unitary() for _ in range(B)]
+        assert un12(jax.jit(tw.f12_cyclo_sq)(pack12(ms))) == [
+            hf12.cyclotomic_sq(m) for m in ms
+        ]
+
+    def test_f12_cyclo_sq_long_chain(self):
+        """Regression: the +-2z terms bypass the Montgomery multiply, so
+        without the in-kernel canonicalization the lazy drift doubles per
+        squaring and a chain > ~5 deep silently overflows the 512p budget.
+        70 chained squarings must stay bit-exact vs the host oracle."""
+        m = self._unitary()
+
+        def chain(a):
+            for _ in range(70):
+                a = tw.f12_cyclo_sq(a)
+            return a
+
+        w = m
+        for _ in range(70):
+            w = hf12.cyclotomic_sq(w)
+        assert un12(jax.jit(chain)(pack12([m])))[0] == w
