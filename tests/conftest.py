@@ -25,7 +25,11 @@ if jax.config.jax_platforms != "cpu":
     _jeb.clear_backends()
 
 # Persistent compilation cache: the big pairing/tower graphs compile once
-# ever, then hit the on-disk cache across pytest runs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# ever, then hit the on-disk cache across pytest runs. CPU runs get their
+# OWN directory: executable (de)serialization on the CPU backend is
+# best-effort, and long suite runs were segfaulting inside zstd cache
+# reads of entries from the shared dir (see round-2 notes) — never mix
+# CPU- and TPU-written caches.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
