@@ -299,4 +299,14 @@ def fixed_base_batch_mul(curve, curve_key, table_aff, digits):
         _FIXED_BASE_JIT_CACHE[curve_key] = jax.jit(
             lambda t, d: _fixed_base_device(curve, t, d)
         )
-    return _FIXED_BASE_JIT_CACHE[curve_key](table_aff, jnp.asarray(digits))
+    fn = _FIXED_BASE_JIT_CACHE[curve_key]
+    if jax.default_backend() == "cpu":
+        # XLA's CPU executable (de)serializer segfaults on exactly this
+        # scan+gather program (observed on both the cache-write and
+        # cache-read paths under pytest); skip the persistent cache here.
+        try:
+            jax.config.update("jax_enable_compilation_cache", False)
+            return fn(table_aff, jnp.asarray(digits))
+        finally:
+            jax.config.update("jax_enable_compilation_cache", True)
+    return fn(table_aff, jnp.asarray(digits))
