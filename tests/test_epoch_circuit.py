@@ -112,3 +112,22 @@ class TestValidatorSetUpdate:
             cs.num_constraints,
             cs.num_instance,
         )
+
+    def test_matrix_hashes_pinned(self, chain):
+        """The epochs.rs:592-597 regression guard: blake2s fingerprints of
+        the circuit's A/B/C matrices, pinned in tests/golden_matrices.json.
+        Any change to these digests means the deployed circuit changed —
+        existing proving/verifying keys stop matching — and must be
+        deliberate (regenerate via scripts/regen_golden.py)."""
+        import json
+        import os
+
+        from celo_bls_snark_tpu.snark.matrix_hash import matrices_hashes
+
+        initial, _t, _l, updates, asig = chain
+        cs = _build(initial, updates, asig)
+        got = matrices_hashes(cs)
+        path = os.path.join(os.path.dirname(__file__), "golden_matrices.json")
+        with open(path) as f:
+            want = json.load(f)["validator_set_update_3v_3e"]
+        assert got == want
