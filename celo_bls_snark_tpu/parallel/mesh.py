@@ -97,6 +97,74 @@ def sharded_msum_g2(mesh, pts_jac, axis="data"):
     return fn(pts_jac)
 
 
+def sharded_msm_pippenger(mesh, points, scalars, axis="data", c=None, L=None,
+                          curve=None, spec=None, nbits=None):
+    """Mesh-sharded Pippenger MSM (host points/scalars -> host point).
+
+    The MSM is additive, so the points are partitioned across chips, each
+    chip runs the full scatter-free Pippenger pipeline (ops/msm.py: window
+    plan gathers + suffix-scan bucket combine) on its shard, and the
+    per-chip partial sums combine with one all-gather + local fold over
+    ICI — the reference's \"buckets partitioned across devices\" shape
+    (SURVEY.md section 2.5) with XLA collectives instead of NCCL.
+    """
+    from ..ops import msm as dmsm
+    from ..ops.field import FQ
+
+    curve = curve or dc.g1
+    spec = spec or FQ
+    nbits = nbits or 253
+    D = mesh.devices.size
+    B0 = len(points)
+    Bc0 = -(-B0 // D)  # points per chip before padding
+    c = c or dmsm._auto_c(Bc0, nbits)
+    if L is None:
+        L = 1 << max(2, min(12, (Bc0.bit_length() - 1) // 2 + 3))
+
+    perms, lins, lanes, valids = [], [], [], []
+    pts_chunks = []
+    Bc = None
+    for d in range(D):
+        sc = list(scalars[d * Bc0 : (d + 1) * Bc0])
+        pc = list(points[d * Bc0 : (d + 1) * Bc0])
+        sc += [0] * (Bc0 - len(sc))
+        pc += [None] * (Bc0 - len(pc))
+        perm, lin, lane, valid, Bc = dmsm.plan_msm(sc, nbits, c, L)
+        pc += [None] * (Bc - Bc0)
+        perms.append(perm)
+        lins.append(lin)
+        lanes.append(lane)
+        valids.append(valid)
+        pts_chunks.append(pc)
+
+    pts_aff = dc.pack_affine(spec, sum(pts_chunks, []))  # [n, D*Bc]
+    plan = (
+        np.stack(perms),  # [D, W, Bc]
+        np.stack(lins),
+        np.stack(lanes),
+        np.stack(valids),
+    )
+
+    def local(pts, perm, lin, lane, valid):
+        out = dmsm._pippenger_device(
+            curve, pts, perm[0], lin[0], lane[0], valid[0], c, L
+        )  # [.., 1]
+        g = jax.tree.map(
+            lambda x: jax.lax.all_gather(x[..., 0], axis, axis=-1), out
+        )
+        return curve.msum(g)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    out = fn(pts_aff, *[jnp.asarray(x) for x in plan])
+    return dc.unpack_jac(curve, spec, out)[0]
+
+
 def sharded_msm_g1(mesh, bits, pts_jac, axis="data"):
     """Sharded dense MSM: batch-sharded scalar-muls, per-chip partial sums,
     ICI-combined total (the mesh replacement for arkworks' rayon MSM)."""

@@ -41,6 +41,18 @@ class TestShardedAggregation:
         exp = hc.G1.msum([hc.G1.mul(s, p) for s, p in zip(scalars, pts)])
         assert dc.g1_unpack(out)[0] == exp
 
+    def test_sharded_msm_pippenger(self, mesh):
+        """The prover-shaped MSM across the mesh: 199 points (uneven last
+        shard, forcing per-chip padding) vs the host oracle."""
+        B = 199
+        pts = [hc.G1.mul(random.randrange(1, R), G1_GENERATOR) for _ in range(B)]
+        scalars = [random.randrange(R) for _ in range(B - 2)] + [0, 1]
+        out = pmesh.sharded_msm_pippenger(mesh, pts, scalars, c=4, L=4)
+        exp = hc.G1.msum(
+            [hc.G1.mul(s, p) if s else None for s, p in zip(scalars, pts)]
+        )
+        assert out == exp
+
 
 @pytest.mark.slow
 class TestShardedPairing:
