@@ -222,13 +222,18 @@ def msm_pippenger(points, scalars, curve=None, spec=None, nbits=None,
     scalars -> affine host point. Defaults to BLS12-377 G1; pass
     (curve=dc.bw6_g1, spec=FQ761, nbits=377) for BW6-761 G1/G2, or custom
     pack_fn/unpack_fn for tower-coordinate groups (BLS12-377 G2)."""
+    from ..utils.config import get_config
+
+    cfg = get_config()
     curve = curve or dc.g1
     spec = spec or FQ
     nbits = nbits or 253
     B0 = len(points)
-    c = c or _auto_c(B0, nbits)
+    c = c or cfg.msm_window or _auto_c(B0, nbits)
     if L is None:
-        L = 1 << max(3, min(12, (B0.bit_length() - 1) // 2 + 3))
+        L = cfg.msm_lanes or (
+            1 << max(3, min(12, (B0.bit_length() - 1) // 2 + 3))
+        )
     perm, lin, lane, valid, B = plan_msm(list(scalars), nbits, c, L)
     pts = list(points) + [None] * (B - B0)
     pts_aff = pack_fn(pts) if pack_fn else dc.pack_affine(spec, pts)

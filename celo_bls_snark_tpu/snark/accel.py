@@ -28,7 +28,12 @@ from ..ops import ntt as dntt
 from ..ops import bls as dbls
 from ..ops.field import FQ, FR, FQ761, fq, fr, fq761
 
-_FIXED_C = 8  # fixed-base window bits (table = W * 256 points, host-cheap)
+def _fixed_c() -> int:
+    """Fixed-base window bits (table = W * 2^c points, host-cheap);
+    Config.fixed_base_window, default 8."""
+    from ..utils.config import get_config
+
+    return get_config().fixed_base_window
 
 
 def _pack_affine_f2(points):
@@ -68,13 +73,14 @@ class _Group:
 
     def fixed_base_batch(self, scalars):
         """[k_i] -> [k_i * generator] (host affine points, None=inf)."""
+        c = _fixed_c()
         if self._table is None:
             tbl = dmsm.fixed_base_table(
-                self.host_curve, self.generator, self.nbits, _FIXED_C
+                self.host_curve, self.generator, self.nbits, c
             )
             self._table = jax.tree.map(jnp.asarray, self.pack_fn(tbl))
         digits = dmsm.fixed_base_plan(
-            [int(s) for s in scalars], self.nbits, _FIXED_C
+            [int(s) for s in scalars], self.nbits, c
         )
         out = dmsm.fixed_base_batch_mul(self.curve, self.key, self._table, digits)
         return self.unpack_fn(out)

@@ -265,9 +265,13 @@ def prove(parameters: Parameters, num_validators: int, initial_epoch: EpochBlock
         asig_pt,
         hash_helper=helper,
     )
+    from ..utils.profiling import stage
+
     cs = ConstraintSystem(BW_FR, "prove")
-    circuit.generate_constraints(cs)
-    bad = cs.which_is_unsatisfied()
+    with stage("prover.witness_synthesis"):
+        circuit.generate_constraints(cs)
+    with stage("prover.satisfaction_check"):
+        bad = cs.which_is_unsatisfied()
     if bad is not None:
         raise SynthesisError(
             f"witness generation produced unsatisfied constraint: {bad}"

@@ -332,11 +332,14 @@ def create_proof_no_zk(pk: ProvingKey, cs, engine, accel=None) -> Proof:
     crates/epoch-snark/src/api/prover.rs:78). With `accel`, the 4 MSMs and
     the h-polynomial coset NTTs run on device — the stage the reference
     parallelizes with rayon inside ark-groth16 (SURVEY.md section 2.5)."""
+    from ..utils.profiling import stage
+
     r = engine.fr
     g1, g2 = engine.g1, engine.g2
     z = cs.full_assignment()
     ni = cs.num_instance
-    h = _compute_h(cs, engine, accel)
+    with stage("prover.h_poly"):
+        h = _compute_h(cs, engine, accel)
 
     if accel is not None:
         def msm_g1(bases, scalars):
@@ -351,10 +354,14 @@ def create_proof_no_zk(pk: ProvingKey, cs, engine, accel=None) -> Proof:
         def msm_g2(bases, scalars):
             return g2.msm([s % r for s in scalars], list(bases))
 
-    a = g1.add(pk.vk.alpha_g1, msm_g1(pk.a_query, z))
-    b_g2 = g2.add(pk.vk.beta_g2, msm_g2(pk.b_g2_query, z))
-    c1 = msm_g1(pk.l_query, z[ni:])
-    c2 = msm_g1(pk.h_query, h)
+    with stage("prover.msm_a"):
+        a = g1.add(pk.vk.alpha_g1, msm_g1(pk.a_query, z))
+    with stage("prover.msm_b_g2"):
+        b_g2 = g2.add(pk.vk.beta_g2, msm_g2(pk.b_g2_query, z))
+    with stage("prover.msm_l"):
+        c1 = msm_g1(pk.l_query, z[ni:])
+    with stage("prover.msm_h"):
+        c2 = msm_g1(pk.h_query, h)
     c = g1.add(c1, c2)
     return Proof(a=a, b=b_g2, c=c)
 
