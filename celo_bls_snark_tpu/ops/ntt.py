@@ -41,6 +41,7 @@ class NttOps:
         self.r = modulus
         self.root_fn = root_fn
         self._twiddles = lru_cache(maxsize=8)(self._twiddle_table)
+        self._coset_cache = {}
 
     def _twiddle_table(self, n: int, inverse: bool):
         """Montgomery-packed powers w^0..w^(n/2-1) of the order-n root."""
@@ -54,51 +55,78 @@ class NttOps:
             acc = acc * w % self.r
         return np.asarray(self.spec.pack(powers))
 
-    def ntt(self, coeffs, inverse=False):
-        """coeffs: [n_limbs, N] Montgomery batch; returns the NTT (or
-        inverse NTT, scaled by 1/N) in natural order."""
+    def master_table(self, N: int, inverse: bool):
+        """Device twiddle table for a length-N transform — pass as the
+        `master` argument of ntt() inside jit so the table is a traced
+        INPUT, not a baked HLO literal (a [n, N/2] constant at N=2^20 is
+        tens of MB and overflows the axon remote-compile request)."""
+        return jnp.asarray(self._twiddles(N, inverse))
+
+    def ntt(self, coeffs, inverse=False, master=None):
+        """coeffs: [n_limbs, *batch, N] Montgomery array; transforms the
+        LAST axis (independently per leading batch index) and returns the
+        NTT (or inverse NTT, scaled by 1/N) in natural order. `master`
+        optionally supplies the twiddle table (see master_table)."""
         f, spec = self.f, self.spec
+        n = coeffs.shape[0]
         N = coeffs.shape[-1]
+        lead = coeffs.shape[1:-1]  # leading batch dims (may be empty)
         assert N & (N - 1) == 0
         stages = N.bit_length() - 1
-        x = coeffs[:, _bit_reverse_perm(N)]
-        master = jnp.asarray(self._twiddles(N, inverse))  # [n, N/2]
+        x = coeffs[..., _bit_reverse_perm(N)]
+        if master is None:
+            master = jnp.asarray(self._twiddles(N, inverse))  # [n, N/2]
+        bcast = (n, *([1] * len(lead)), N // 2)
         for s in range(stages):
             half = 1 << s          # butterfly half-width
             stride = N >> (s + 1)  # twiddle stride into the master table
             tw = master[:, ::stride]  # [n, half]
-            x4 = x.reshape(x.shape[0], N // (2 * half), 2, half)
-            u = x4[:, :, 0, :]
-            v = x4[:, :, 1, :]
-            # v * w  (one wide kernel dispatch: [n, blocks*half])
-            vflat = v.reshape(x.shape[0], -1)
-            twflat = jnp.tile(tw, (1, N // (2 * half)))
+            x4 = x.reshape(n, *lead, N // (2 * half), 2, half)
+            u = x4[..., 0, :]
+            v = x4[..., 1, :]
+            # v * w  (one wide 1-D kernel dispatch over all batch dims)
+            vflat = v.reshape(n, -1)
+            twflat = jnp.broadcast_to(
+                jnp.tile(tw, (1, N // (2 * half))).reshape(bcast),
+                (n, *lead, N // 2),
+            ).reshape(n, -1)
             vw = f.mul(vflat, twflat).reshape(v.shape)
             out_hi = f.add(u, vw)
             out_lo = f.sub(u, vw)
-            x = jnp.stack([out_hi, out_lo], axis=2).reshape(x.shape[0], N)
+            x = jnp.stack([out_hi, out_lo], axis=-2).reshape(n, *lead, N)
         if inverse:
             ninv = spec.const(pow(N, -1, self.r), (1,))
-            x = f.mul(x, jnp.broadcast_to(ninv, x.shape))
+            flat = x.reshape(n, -1)
+            x = f.mul(flat, jnp.broadcast_to(ninv, flat.shape)).reshape(x.shape)
         return x
 
-    def _coset_scale(self, N, g):
-        scale = []
-        acc = 1
-        for _ in range(N):
-            scale.append(acc)
-            acc = acc * g % self.r
-        return jnp.asarray(self.spec.pack(scale))
+    def coset_scale(self, N, g):
+        """Device [n, N] vector of g^i — like master_table, pass as a
+        traced argument inside jit (a 2^20 BW6-Fr literal is >100MB)."""
+        key = (N, g)
+        if key not in self._coset_cache:
+            scale = []
+            acc = 1
+            for _ in range(N):
+                scale.append(acc)
+                acc = acc * g % self.r
+            self._coset_cache[key] = np.asarray(self.spec.pack(scale))
+        return jnp.asarray(self._coset_cache[key])
 
-    def coset_ntt(self, coeffs, g: int):
+    def coset_ntt(self, coeffs, g: int, master=None, scale=None):
         """NTT of coeffs(g*X): scale coefficient i by g^i, then NTT."""
-        gs = self._coset_scale(coeffs.shape[-1], g)
-        return self.ntt(self.f.mul(coeffs, gs))
+        gs = scale if scale is not None else self.coset_scale(coeffs.shape[-1], g)
+        return self.ntt(self.f.mul(coeffs, gs), master=master)
 
-    def coset_intt(self, evals, g: int):
-        """Inverse of coset_ntt."""
-        x = self.ntt(evals, inverse=True)
-        gs = self._coset_scale(evals.shape[-1], pow(g, -1, self.r))
+    def coset_intt(self, evals, g: int, master=None, scale=None):
+        """Inverse of coset_ntt. `master` must be the INVERSE twiddle
+        table; `scale` the coset_scale of g^-1."""
+        x = self.ntt(evals, inverse=True, master=master)
+        gs = (
+            scale
+            if scale is not None
+            else self.coset_scale(evals.shape[-1], pow(g, -1, self.r))
+        )
         return self.f.mul(x, gs)
 
 

@@ -33,6 +33,23 @@ def make_mesh(devices=None, axis="data"):
     return Mesh(np.asarray(devices).reshape(-1), (axis,))
 
 
+_JIT_CACHE = {}
+
+
+def _jit_shard(key, builder):
+    """jit-compile (and memoize) a shard_map program.
+
+    Eager shard_map dispatch is catastrophically slow on the CPU backend
+    (minutes per call vs seconds compiled + ~ms to run, measured on the
+    four-step NTT), so every public function here routes its shard_map
+    through one cached jax.jit callable per (mesh, static-config) key —
+    jit itself re-specializes per operand shape."""
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_CACHE[key] = jax.jit(builder())
+    return fn
+
+
 def shard_batch(mesh, tree, axis="data"):
     """Place a pytree of [n, B] arrays with B sharded over the mesh axis."""
     sharding = NamedSharding(mesh, P(None, axis))
@@ -47,20 +64,24 @@ def sharded_miller_product(mesh, p_aff, q_aff, axis="data"):
     collective replacing the reference's rayon join.
     """
 
-    def local(p, q):
-        f = dp.miller_loop_batch(p, q)
-        f = dp.f12_product(f)  # [.., 1] per shard
-        f = jax.tree.map(lambda x: jax.lax.all_gather(x[..., 0], axis, axis=-1), f)
-        return dp.f12_product(f)
+    def build():
+        def local(p, q):
+            f = dp.miller_loop_batch(p, q)
+            f = dp.f12_product(f)  # [.., 1] per shard
+            f = jax.tree.map(
+                lambda x: jax.lax.all_gather(x[..., 0], axis, axis=-1), f
+            )
+            return dp.f12_product(f)
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis)),
-        out_specs=P(None, None),
-        check_vma=False,
-    )
-    return fn(p_aff, q_aff)
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None, axis)),
+            out_specs=P(None, None),
+            check_vma=False,
+        )
+
+    return _jit_shard(("miller_product", mesh, axis), build)(p_aff, q_aff)
 
 
 def sharded_pairing_check(mesh, p_aff, q_aff, axis="data"):
@@ -74,27 +95,28 @@ def sharded_pairing_check(mesh, p_aff, q_aff, axis="data"):
 def sharded_msum_g1(mesh, pts_jac, axis="data"):
     """Sharded G1 sum: local tree-sum per chip, then all-gather + final sum."""
 
-    def local(p):
-        s = dc.g1.msum(p)
-        g = jax.tree.map(lambda x: jax.lax.all_gather(x[..., 0], axis, axis=-1), s)
-        return dc.g1.msum(g)
-
-    fn = shard_map(
-        local, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, None), check_vma=False
-    )
-    return fn(pts_jac)
+    return _sharded_msum(mesh, pts_jac, dc.g1, "msum_g1", axis)
 
 
 def sharded_msum_g2(mesh, pts_jac, axis="data"):
-    def local(p):
-        s = dc.g2.msum(p)
-        g = jax.tree.map(lambda x: jax.lax.all_gather(x[..., 0], axis, axis=-1), s)
-        return dc.g2.msum(g)
+    return _sharded_msum(mesh, pts_jac, dc.g2, "msum_g2", axis)
 
-    fn = shard_map(
-        local, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, None), check_vma=False
-    )
-    return fn(pts_jac)
+
+def _sharded_msum(mesh, pts_jac, curve, tag, axis):
+    def build():
+        def local(p):
+            s = curve.msum(p)
+            g = jax.tree.map(
+                lambda x: jax.lax.all_gather(x[..., 0], axis, axis=-1), s
+            )
+            return curve.msum(g)
+
+        return shard_map(
+            local, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, None),
+            check_vma=False,
+        )
+
+    return _jit_shard((tag, mesh, axis), build)(pts_jac)
 
 
 def sharded_msm_pippenger(mesh, points, scalars, axis="data", c=None, L=None,
@@ -145,41 +167,130 @@ def sharded_msm_pippenger(mesh, points, scalars, axis="data", c=None, L=None,
         np.stack(valids),
     )
 
-    def local(pts, perm, lin, lane, valid):
-        out = dmsm._pippenger_device(
-            curve, pts, perm[0], lin[0], lane[0], valid[0], c, L
-        )  # [.., 1]
-        g = jax.tree.map(
-            lambda x: jax.lax.all_gather(x[..., 0], axis, axis=-1), out
-        )
-        return curve.msum(g)
+    def build():
+        def local(pts, perm, lin, lane, valid):
+            out = dmsm._pippenger_device(
+                curve, pts, perm[0], lin[0], lane[0], valid[0], c, L
+            )  # [.., 1]
+            g = jax.tree.map(
+                lambda x: jax.lax.all_gather(x[..., 0], axis, axis=-1), out
+            )
+            return curve.msum(g)
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(None, axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(None, None),
-        check_vma=False,
-    )
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(None, None),
+            check_vma=False,
+        )
+
+    fn = _jit_shard(("msm_pippenger", mesh, axis, id(curve), c, L), build)
     out = fn(pts_aff, *[jnp.asarray(x) for x in plan])
     return dc.unpack_jac(curve, spec, out)[0]
+
+
+_FOUR_STEP_TW = {}
+
+
+def _four_step_twiddles(nttops, N, N1, inverse):
+    """Montgomery-packed T[k1, i2] = w_N^{±k1*i2}, shape [n, N1, N2]."""
+    key = (nttops.r, N, N1, inverse)
+    if key not in _FOUR_STEP_TW:
+        w = nttops.root_fn(N)
+        if inverse:
+            w = pow(w, -1, nttops.r)
+        N2 = N // N1
+        vals = []
+        wk = 1  # w^{k1}
+        for _ in range(N1):
+            acc = 1
+            for _ in range(N2):
+                vals.append(acc)
+                acc = acc * wk % nttops.r
+            wk = wk * w % nttops.r
+        packed = np.asarray(nttops.spec.pack(vals))
+        _FOUR_STEP_TW[key] = packed.reshape(packed.shape[0], N1, N2)
+    return _FOUR_STEP_TW[key]
+
+
+def sharded_ntt(mesh, coeffs, nttops=None, inverse=False, N1=None, axis="data"):
+    """Mesh-sharded radix-2 NTT: the four-step (Bailey) decomposition.
+
+    N = N1*N2 viewed as a matrix A[i1, i2]: (1) length-N1 NTTs along
+    columns — local, batched over each chip's i2 shard; (2) twiddle
+    multiply by w_N^{k1*i2} — local; (3) ONE all_to_all redistributing from
+    i2-sharded to k1-sharded — the only ICI traffic, N elements total;
+    (4) length-N2 NTTs along rows — local. This is the TPU-mesh equivalent
+    of arkworks' rayon-parallel domain FFT inside the Groth16 prover
+    (SURVEY.md §2.5), with the transpose riding ICI instead of shared
+    memory.
+
+    coeffs: [n_limbs, N] natural order -> [n_limbs, N] natural order
+    (inverse=True gives the 1/N-scaled inverse NTT). Requires N1 % D == 0
+    and N2 % D == 0 (D = mesh size).
+    """
+    from ..ops import ntt as dntt
+
+    nttops = nttops or dntt.ntt_fr
+    n, N = coeffs.shape
+    D = mesh.devices.size
+    if N1 is None:
+        N1 = 1 << ((N.bit_length() - 1) // 2)  # ~sqrt(N)
+        while N1 % D:
+            N1 <<= 1
+    N2 = N // N1
+    assert N1 % D == 0 and N2 % D == 0, (N1, N2, D)
+    tw = jnp.asarray(_four_step_twiddles(nttops, N, N1, inverse))
+    f = nttops.f
+
+    def build():
+        def local(x, t):
+            # x, t: [n, N1, N2/D] (full i1/k1, this chip's i2 slice)
+            xt = jnp.moveaxis(x, -1, 1)            # [n, N2loc, N1]
+            b = nttops.ntt(xt, inverse=inverse)    # column NTTs over i1
+            tt = jnp.moveaxis(t, -1, 1)
+            c = f.mul(b.reshape(n, -1), tt.reshape(n, -1)).reshape(b.shape)
+            # redistribute: split k1 into D chunks, gather all i2 (ICI)
+            d = jax.lax.all_to_all(c, axis, split_axis=2, concat_axis=1,
+                                   tiled=True)
+            dt = jnp.moveaxis(d, 1, -1)            # [n, N1/D, N2]
+            e = nttops.ntt(dt, inverse=inverse)    # row NTTs over i2
+            return jnp.moveaxis(e, 1, -1)          # [n, N2, N1/D]
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, None, axis), P(None, None, axis)),
+            out_specs=P(None, None, axis),
+            check_vma=False,
+        )
+
+    fn = _jit_shard(("ntt", mesh, axis, nttops.r, inverse), build)
+    out = fn(coeffs.reshape(n, N1, N2), tw)
+    # out[:, k2, k1] = X[k2*N1 + k1] — flattening (k2, k1) IS natural order
+    return out.reshape(n, N)
 
 
 def sharded_msm_g1(mesh, bits, pts_jac, axis="data"):
     """Sharded dense MSM: batch-sharded scalar-muls, per-chip partial sums,
     ICI-combined total (the mesh replacement for arkworks' rayon MSM)."""
 
-    def local(b, p):
-        prods = dc.g1.scalar_mul_bits(b, p)
-        s = dc.g1.msum(prods)
-        g = jax.tree.map(lambda x: jax.lax.all_gather(x[..., 0], axis, axis=-1), s)
-        return dc.g1.msum(g)
+    def build():
+        def local(b, p):
+            prods = dc.g1.scalar_mul_bits(b, p)
+            s = dc.g1.msum(prods)
+            g = jax.tree.map(
+                lambda x: jax.lax.all_gather(x[..., 0], axis, axis=-1), s
+            )
+            return dc.g1.msum(g)
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis)),
-        out_specs=P(None, None),
-        check_vma=False,
-    )
-    return fn(bits, pts_jac)
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None, axis)),
+            out_specs=P(None, None),
+            check_vma=False,
+        )
+
+    return _jit_shard(("msm_g1_dense", mesh, axis), build)(bits, pts_jac)

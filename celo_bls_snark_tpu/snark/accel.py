@@ -129,35 +129,47 @@ class DeviceAccel:
     def compute_h_evals(self, a_evals, b_evals, c_evals, d: int, g: int):
         """Domain evaluations (lists of ints mod r) -> h coefficients
         [0, d-1) — the coset-NTT pipeline of groth16._compute_h, fully on
-        device: 3 iNTT + 3 coset NTT + pointwise + 1 coset iNTT."""
+        device: 3 iNTT + 3 coset NTT + pointwise + 1 coset iNTT.
+
+        The twiddle/coset tables are passed as traced ARGUMENTS (cached
+        device-resident), never as baked HLO literals: at d=2^20 over
+        BW6-Fr the literals alone exceed 300MB and the axon remote-compile
+        request is rejected (HTTP 413)."""
         r = self.r
         spec, f = self.fspec, self.fops
         t_c_inv = pow((pow(g, d, r) - 1) % r, -1, r)
+        nttops = self.nttops
         if d not in self._h_jit:
-            nttops = self.nttops
             tinv_c = spec.const(t_c_inv, (1,))
 
             @jax.jit
-            def pipeline(a_raw, b_raw, c_raw):
+            def pipeline(a_raw, b_raw, c_raw, m_fwd, m_inv, sc_g, sc_ginv):
                 a = f.from_raw(a_raw)
                 b = f.from_raw(b_raw)
                 c = f.from_raw(c_raw)
-                ac = nttops.ntt(a, inverse=True)
-                bc = nttops.ntt(b, inverse=True)
-                cc = nttops.ntt(c, inverse=True)
-                ae = nttops.coset_ntt(ac, g)
-                be = nttops.coset_ntt(bc, g)
-                ce = nttops.coset_ntt(cc, g)
+                ac = nttops.ntt(a, inverse=True, master=m_inv)
+                bc = nttops.ntt(b, inverse=True, master=m_inv)
+                cc = nttops.ntt(c, inverse=True, master=m_inv)
+                ae = nttops.coset_ntt(ac, g, master=m_fwd, scale=sc_g)
+                be = nttops.coset_ntt(bc, g, master=m_fwd, scale=sc_g)
+                ce = nttops.coset_ntt(cc, g, master=m_fwd, scale=sc_g)
                 hc_ = f.sub(f.mul(ae, be), ce)
                 hc_ = f.mul(hc_, jnp.broadcast_to(tinv_c, hc_.shape))
-                h = nttops.coset_intt(hc_, g)
+                h = nttops.coset_intt(hc_, g, master=m_inv, scale=sc_ginv)
                 return f.to_raw(h)
 
             self._h_jit[d] = pipeline
+        tables = (
+            nttops.master_table(d, False),
+            nttops.master_table(d, True),
+            nttops.coset_scale(d, g),
+            nttops.coset_scale(d, pow(g, -1, r)),
+        )
         out = self._h_jit[d](
             jnp.asarray(self.fspec.pack_raw(a_evals)),
             jnp.asarray(self.fspec.pack_raw(b_evals)),
             jnp.asarray(self.fspec.pack_raw(c_evals)),
+            *tables,
         )
         return self.fspec.unpack_raw(np.asarray(out))[: d - 1]
 

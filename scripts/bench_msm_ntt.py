@@ -146,8 +146,13 @@ def bench_ntt(lg, reps=5, field="bls_fr"):
     t0 = time.perf_counter()
     raw = jnp.asarray(spec.pack_raw(vals))
     x = jax.jit(fops.from_raw)(raw)
-    fwd = jax.jit(nttops.ntt)
-    inv = jax.jit(lambda v: nttops.ntt(v, inverse=True))
+    # twiddle tables as traced args, not baked literals (axon 413 limit)
+    m_fwd = nttops.master_table(N, False)
+    m_inv = nttops.master_table(N, True)
+    fwd_fn = jax.jit(lambda v, m: nttops.ntt(v, master=m))
+    inv_fn = jax.jit(lambda v, m: nttops.ntt(v, inverse=True, master=m))
+    fwd = lambda v: fwd_fn(v, m_fwd)
+    inv = lambda v: inv_fn(v, m_inv)
     y = fwd(x)
     back = inv(y)
     jax.block_until_ready(back)

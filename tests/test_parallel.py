@@ -67,3 +67,69 @@ class TestShardedPairing:
         q_dev = dbls.pack_g2_affine(qs)
         ok = pmesh.sharded_pairing_check(mesh, p_dev, q_dev)
         assert bool(np.asarray(ok)[0])
+
+
+class TestShardedNTT:
+    """Four-step NTT across the mesh vs the single-device kernel."""
+
+    def test_sharded_ntt_matches_single_device(self, mesh):
+        from celo_bls_snark_tpu.ops.field import FR
+        from celo_bls_snark_tpu.ops import ntt as dntt
+
+        N = 256
+        vals = [random.randrange(R) for _ in range(N)]
+        x = jnp.asarray(FR.pack(vals))
+        want = FR.unpack(dntt.ntt_fr.ntt(x))
+        got = FR.unpack(pmesh.sharded_ntt(mesh, x, dntt.ntt_fr))
+        assert got == want
+
+    def test_sharded_intt_roundtrip(self, mesh):
+        from celo_bls_snark_tpu.ops.field import FR
+        from celo_bls_snark_tpu.ops import ntt as dntt
+
+        N = 128
+        vals = [random.randrange(R) for _ in range(N)]
+        x = jnp.asarray(FR.pack(vals))
+        fwd = pmesh.sharded_ntt(mesh, x, dntt.ntt_fr)
+        back = FR.unpack(pmesh.sharded_ntt(mesh, fwd, dntt.ntt_fr, inverse=True))
+        assert back == vals
+
+    def test_sharded_ntt_bw6_fr(self, mesh):
+        """The flagship prover's field (BW6-Fr = BLS12-377 Fq)."""
+        from celo_bls_snark_tpu.hostmath.params import P
+        from celo_bls_snark_tpu.ops.field import FQ
+        from celo_bls_snark_tpu.ops import ntt as dntt
+
+        N = 64
+        vals = [random.randrange(P) for _ in range(N)]
+        x = jnp.asarray(FQ.pack(vals))
+        want = FQ.unpack(dntt.ntt_bw6.ntt(x))
+        got = FQ.unpack(pmesh.sharded_ntt(mesh, x, dntt.ntt_bw6))
+        assert got == want
+
+
+class TestBatchedNTT:
+    """ntt() on [n, B, N] transforms the last axis per batch row."""
+
+    def test_batched_matches_per_row(self):
+        from celo_bls_snark_tpu.ops.field import FR
+        from celo_bls_snark_tpu.ops import ntt as dntt
+
+        B, N = 3, 32
+        rows = [[random.randrange(R) for _ in range(N)] for _ in range(B)]
+        xs = [jnp.asarray(FR.pack(r)) for r in rows]
+        batched = jnp.stack(xs, axis=1)  # [n, B, N]
+        out = dntt.ntt_fr.ntt(batched)
+        for i in range(B):
+            assert FR.unpack(out[:, i, :]) == FR.unpack(dntt.ntt_fr.ntt(xs[i]))
+
+    def test_batched_inverse_scaling(self):
+        from celo_bls_snark_tpu.ops.field import FR
+        from celo_bls_snark_tpu.ops import ntt as dntt
+
+        B, N = 2, 16
+        rows = [[random.randrange(R) for _ in range(N)] for _ in range(B)]
+        batched = jnp.stack([jnp.asarray(FR.pack(r)) for r in rows], axis=1)
+        back = dntt.ntt_fr.ntt(dntt.ntt_fr.ntt(batched), inverse=True)
+        for i in range(B):
+            assert FR.unpack(back[:, i, :]) == rows[i]
