@@ -272,6 +272,15 @@ def encode_epoch_block_to_bytes_cip22(epoch_block) -> bytes:
     return epoch_block.encode_inner_to_bytes_cip22()
 
 
+def encode_epoch_block_to_bytes(epoch_block) -> bytes:
+    """Pre-CIP22 encoding (snark/epoch_block.rs:69-105): round/entropy are
+    unused before CIP22 and maximum_validators == len(pubkeys)."""
+    from ..snark.epoch_block import EpochBlock
+
+    assert isinstance(epoch_block, EpochBlock)
+    return epoch_block.encode_to_bytes()
+
+
 # --------------------------------------------------------------------------
 # Object-level surface (the C ABI's opaque-handle calls: the reference FFI
 # passes *const PrivateKey/PublicKey/Signature handles, not bytes —

@@ -584,24 +584,87 @@ bool verify(const uint8_t *vk, uint32_t vk_len, const uint8_t *proof,
   return ok;
 }
 
-bool encode_epoch_block_to_bytes_cip22(EpochBlockFFI epoch, uint8_t **out,
-                                       int32_t *out_len) {
+// Unpacked-field EpochBlock builder shared by the two encode entry points
+// (snark/epoch_block.rs:17-46 and :69-105): public keys arrive as opaque
+// HANDLES (const PublicKey* array), entropy as 16-byte buffers or NULL.
+static PyObject *epoch_block_from_fields(
+    uint16_t index, uint8_t round, const uint8_t *epoch_entropy,
+    const uint8_t *parent_entropy, uint32_t maximum_non_signers,
+    uint32_t maximum_validators, const void *const *pubkeys,
+    int32_t pubkeys_len) {
+  PyObject *mod = PyImport_ImportModule("celo_bls_snark_tpu.ffi.c_abi_support");
+  if (mod == nullptr) return nullptr;
+  PyObject *fn = PyObject_GetAttrString(mod, "make_epoch_block_from_objs");
+  Py_DECREF(mod);
+  if (fn == nullptr) return nullptr;
+  PyObject *ee =
+      epoch_entropy ? PyBytes_FromStringAndSize(
+                          reinterpret_cast<const char *>(epoch_entropy), 16)
+                    : (Py_INCREF(Py_None), Py_None);
+  PyObject *pe =
+      parent_entropy ? PyBytes_FromStringAndSize(
+                           reinterpret_cast<const char *>(parent_entropy), 16)
+                     : (Py_INCREF(Py_None), Py_None);
+  PyObject *pks = handle_list(pubkeys, pubkeys_len);
+  PyObject *args = Py_BuildValue("(HBOOIIO)", index, round, ee, pe,
+                                 maximum_non_signers, maximum_validators, pks);
+  Py_DECREF(ee);
+  Py_DECREF(pe);
+  Py_DECREF(pks);
+  PyObject *res = PyObject_CallObject(fn, args);
+  Py_DECREF(fn);
+  Py_DECREF(args);
+  return res;
+}
+
+// snark/epoch_block.rs:17-66: CIP22 inner encoding; emits BOTH the inner
+// bytes and the extra_data bytes.
+bool encode_epoch_block_to_bytes_cip22(
+    uint16_t in_epoch_index, uint8_t in_round_number,
+    const uint8_t *in_epoch_entropy, const uint8_t *in_parent_entropy,
+    uint32_t in_maximum_non_signers, uint32_t in_maximum_validators,
+    const void *const *in_added_public_keys, int32_t in_added_public_keys_len,
+    uint8_t **out_bytes, int32_t *out_len, uint8_t **out_extra_data_bytes,
+    int32_t *out_extra_data_len) {
   ensure_python();
   Gil gil;
-  PyObject *block = epoch_block_to_py(&epoch);
+  PyObject *block = epoch_block_from_fields(
+      in_epoch_index, in_round_number, in_epoch_entropy, in_parent_entropy,
+      in_maximum_non_signers, in_maximum_validators, in_added_public_keys,
+      in_added_public_keys_len);
   if (block == nullptr) return fail();
   PyObject *args = Py_BuildValue("(O)", block);
   Py_DECREF(block);
   PyObject *res = call("encode_epoch_block_to_bytes_cip22", args);
   Py_DECREF(args);
-  if (res == nullptr) return fail();
-  // returns (inner_bytes, extra_bytes); emit inner (mirrors the reference's
-  // encode_epoch_block_to_bytes_cip22 output)
-  PyObject *inner =
-      PyTuple_Check(res) ? PyTuple_GetItem(res, 0) : res;
-  bool ok = emit_bytes(inner, out, out_len);
+  if (res == nullptr || !PyTuple_Check(res) || PyTuple_GET_SIZE(res) != 2) {
+    Py_XDECREF(res);
+    return fail();
+  }
+  bool ok = emit_bytes(PyTuple_GET_ITEM(res, 0), out_bytes, out_len) &&
+            emit_bytes(PyTuple_GET_ITEM(res, 1), out_extra_data_bytes,
+                       out_extra_data_len);
   Py_DECREF(res);
   return ok;
+}
+
+// snark/epoch_block.rs:69-105: pre-CIP22 encoding (round/entropy unused,
+// maximum_validators == pubkey count).
+bool encode_epoch_block_to_bytes(uint16_t in_epoch_index,
+                                 uint32_t in_maximum_non_signers,
+                                 const void *const *in_added_public_keys,
+                                 int32_t in_added_public_keys_len,
+                                 uint8_t **out_bytes, int32_t *out_len) {
+  ensure_python();
+  Gil gil;
+  PyObject *block = epoch_block_from_fields(
+      in_epoch_index, 0, nullptr, nullptr, in_maximum_non_signers,
+      static_cast<uint32_t>(in_added_public_keys_len), in_added_public_keys,
+      in_added_public_keys_len);
+  if (block == nullptr) return fail();
+  PyObject *args = Py_BuildValue("(O)", block);
+  Py_DECREF(block);
+  return bytes_out("encode_epoch_block_to_bytes", args, out_bytes, out_len);
 }
 
 }  // extern "C"

@@ -27,3 +27,25 @@ def make_epoch_block(
         maximum_validators,
         pubkeys,
     )
+
+
+def make_epoch_block_from_objs(
+    index,
+    round_,
+    epoch_entropy,
+    parent_entropy,
+    maximum_non_signers,
+    maximum_validators,
+    pubkey_objs,
+):
+    """Unpacked encode_epoch_block_to_bytes[_cip22] args with PublicKey
+    HANDLES (snark/epoch_block.rs:17-46,69-95) -> EpochBlock."""
+    return EpochBlock(
+        index,
+        round_,
+        bytes(epoch_entropy) if epoch_entropy is not None else None,
+        bytes(parent_entropy) if parent_entropy is not None else None,
+        maximum_non_signers,
+        maximum_validators,
+        list(pubkey_objs),
+    )

@@ -130,30 +130,44 @@ def trusted_setup(num_validators: int, num_epochs: int, maximum_non_signers: int
     the outer circuit verifies in-circuit (epoch_bits.rs:104-132); the
     helper keys are generated first so the outer circuit embeds the helper
     vk as a constant (setup.rs:87-99)."""
-    from ..hostmath.params import R as BLS_FR
-    from ..relations.r1cs import ConstraintSystem
-    from .epochs import HashToBitsHelper, ValidatorSetUpdate
-    from .hash_to_bits_circuit import HashToBits
-
-    accel = None
+    accel = helper_accel = None
     if device:
         from .accel import get_accel
 
         accel = get_accel("bw6_761")
+        helper_accel = get_accel("bls12_377")
+
+    return setup(
+        num_validators, num_epochs, maximum_non_signers, rng,
+        lambda hcs, r: g16.generate_parameters(
+            hcs, g16.BLS12_377_ENGINE, r, accel=helper_accel
+        ),
+        lambda cs, r: g16.generate_parameters(
+            cs, BW6_761_ENGINE, r, accel=accel
+        ),
+        hashes_in_bls12_377,
+    )
+
+
+def setup(num_validators: int, num_epochs: int, maximum_non_signers: int,
+          rng, hash_to_bits_setup, validator_setup_fn,
+          hashes_in_bls12_377: bool = False) -> Parameters:
+    """Injectable-setup variant (setup.rs:58-105): the consumer provides the
+    Groth16 parameter generators — the in-process random setup
+    (trusted_setup), or one returning parameters computed via an MPC
+    ceremony. Each setup fn receives the circuit's synthesized
+    ConstraintSystem and the rng and returns a ProvingKey."""
+    from ..hostmath.params import R as BLS_FR
+    from ..relations.r1cs import ConstraintSystem
+    from .epochs import HashToBitsHelper, ValidatorSetUpdate
+    from .hash_to_bits_circuit import HashToBits
 
     helper_pk = None
     helper = None
     if hashes_in_bls12_377:
         hcs = ConstraintSystem(BLS_FR, "setup")
         HashToBits.empty(num_epochs).generate_constraints(hcs)
-        helper_accel = None
-        if device:
-            from .accel import get_accel
-
-            helper_accel = get_accel("bls12_377")
-        helper_pk = g16.generate_parameters(
-            hcs, g16.BLS12_377_ENGINE, rng, accel=helper_accel
-        )
+        helper_pk = hash_to_bits_setup(hcs, rng)
         helper = HashToBitsHelper(vk=helper_pk.vk, proof=None)
 
     cs = ConstraintSystem(BW_FR, "setup")
@@ -161,7 +175,7 @@ def trusted_setup(num_validators: int, num_epochs: int, maximum_non_signers: int
         num_validators, num_epochs, hash_helper=helper
     )
     circuit.generate_constraints(cs)
-    epochs_pk = g16.generate_parameters(cs, BW6_761_ENGINE, rng, accel=accel)
+    epochs_pk = validator_setup_fn(cs, rng)
     return Parameters(epochs=epochs_pk, hash_to_bits=helper_pk)
 
 

@@ -87,3 +87,55 @@ class TestDistributed:
     def test_coordinator_predicates(self):
         assert pdist.process_count() >= 1
         assert pdist.is_coordinator() in (True, False)
+
+
+class TestInjectableSetup:
+    """setup.rs:58-105 — the consumer may inject the Groth16 parameter
+    generators (e.g. to load MPC-ceremony outputs). Validates the plumbing:
+    each injected fn receives the synthesized ConstraintSystem + rng and
+    its returns land in Parameters verbatim."""
+
+    def test_setup_fns_injected(self):
+        from types import SimpleNamespace
+        from celo_bls_snark_tpu.hostmath.params import G1_GENERATOR, G2_GENERATOR
+        from celo_bls_snark_tpu.snark.api import setup
+        from celo_bls_snark_tpu.snark.groth16 import VerifyingKey
+
+        calls = []
+
+        def helper_setup(hcs, rng):
+            calls.append(("helper", hcs.num_constraints))
+            # MPC stand-in: a vk of the right SHAPE (the outer circuit embeds
+            # it as constants), generator-valued
+            vk = VerifyingKey(
+                alpha_g1=G1_GENERATOR,
+                beta_g2=G2_GENERATOR,
+                gamma_g2=G2_GENERATOR,
+                delta_g2=G2_GENERATOR,
+                gamma_abc_g1=[G1_GENERATOR] * hcs.num_instance,
+            )
+            return SimpleNamespace(vk=vk, tag="helper-pk")
+
+        def epoch_setup(cs, rng):
+            calls.append(("epochs", cs.num_constraints))
+            return SimpleNamespace(vk=None, tag="epoch-pk")
+
+        params = setup(2, 1, 0, None, helper_setup, epoch_setup,
+                       hashes_in_bls12_377=True)
+        assert [c[0] for c in calls] == ["helper", "epochs"]
+        assert all(n > 0 for _, n in calls)
+        assert params.hash_to_bits.tag == "helper-pk"
+        assert params.epochs.tag == "epoch-pk"
+
+    def test_one_snark_mode_skips_helper(self):
+        from types import SimpleNamespace
+        from celo_bls_snark_tpu.snark.api import setup
+
+        def boom(hcs, rng):
+            raise AssertionError("helper setup must not run")
+
+        params = setup(
+            2, 1, 0, None, boom,
+            lambda cs, rng: SimpleNamespace(vk=None), hashes_in_bls12_377=False,
+        )
+        assert params.hash_to_bits is None

@@ -392,3 +392,69 @@ class TestSnark:
         assert lib.verify(vk, len(vk), proof, len(proof), first, last)
         # swapped epochs must fail
         assert not lib.verify(vk, len(vk), proof, len(proof), last, first)
+
+
+class TestEncodeEpochBlock:
+    """encode_epoch_block_to_bytes[_cip22] with the reference's unpacked
+    argument ABI (snark/epoch_block.rs:17-105): pubkeys as handle arrays,
+    entropy as 16-byte buffers or NULL, two output buffers for CIP22."""
+
+    def _pk_handles(self, lib, n):
+        handles = []
+        for _ in range(n):
+            sk, pk = _keypair(lib)
+            lib.destroy_private_key(sk)
+            handles.append(pk)
+        arr = (ctypes.c_void_p * n)(*[h.value for h in handles])
+        return handles, arr
+
+    def _pk_objs(self, lib, handles):
+        """Round-trip each handle through serialize to rebuild the host-side
+        PublicKey oracle objects."""
+        from celo_bls_snark_tpu.ffi.api import deserialize_public_key
+
+        objs = []
+        for h in handles:
+            ptr, ln = _out_buf()
+            assert lib.serialize_public_key(h, ctypes.byref(ptr),
+                                            ctypes.byref(ln))
+            objs.append(deserialize_public_key(_take(lib, ptr, ln)))
+        return objs
+
+    def test_encode_cip22_matches_native(self, lib):
+        from celo_bls_snark_tpu.snark.epoch_block import EpochBlock
+
+        handles, arr = self._pk_handles(lib, 3)
+        ee = bytes(range(16))
+        pe = bytes(range(16, 32))
+        ptr, ln = _out_buf()
+        eptr, eln = _out_buf()
+        assert lib.encode_epoch_block_to_bytes_cip22(
+            ctypes.c_uint16(7), ctypes.c_uint8(3), ee, pe,
+            ctypes.c_uint32(1), ctypes.c_uint32(5), arr, 3,
+            ctypes.byref(ptr), ctypes.byref(ln),
+            ctypes.byref(eptr), ctypes.byref(eln),
+        )
+        inner = _take(lib, ptr, ln)
+        extra = _take(lib, eptr, eln)
+        block = EpochBlock(7, 3, ee, pe, 1, 5, self._pk_objs(lib, handles))
+        exp_inner, exp_extra = block.encode_inner_to_bytes_cip22()
+        assert inner == exp_inner
+        assert extra == exp_extra
+        for h in handles:
+            lib.destroy_public_key(h)
+
+    def test_encode_pre_cip22_matches_native(self, lib):
+        from celo_bls_snark_tpu.snark.epoch_block import EpochBlock
+
+        handles, arr = self._pk_handles(lib, 2)
+        ptr, ln = _out_buf()
+        assert lib.encode_epoch_block_to_bytes(
+            ctypes.c_uint16(9), ctypes.c_uint32(1), arr, 2,
+            ctypes.byref(ptr), ctypes.byref(ln),
+        )
+        out = _take(lib, ptr, ln)
+        block = EpochBlock(9, 0, None, None, 1, 2, self._pk_objs(lib, handles))
+        assert out == block.encode_to_bytes()
+        for h in handles:
+            lib.destroy_public_key(h)
