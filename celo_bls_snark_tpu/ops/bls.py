@@ -78,9 +78,9 @@ def batch_verify_grouped_device(sigs_jac, hashes_jac, apks_aff, groups: int):
     and the reference's (n+1)-pairing equation collapses EXACTLY (same
     bilinearity identity, not an approximation) to G+1 pairings:
       e(sum_all sigs, -g2) * prod_g e(Hsum_g, apk_g) == 1.
-    Device cost per message: ~2 Jacobian adds instead of a Miller loop.
+    Device cost per message: ~2 projective adds instead of a Miller loop.
 
-    sigs_jac / hashes_jac: G1 Jacobian batches [G*B]; apks_aff: G2 affine
+    sigs_jac / hashes_jac: G1 projective batches [G*B]; apks_aff: G2 affine
     batch [G]. Returns a boolean array of shape [1].
     """
     combined = jax.tree.map(
@@ -116,12 +116,12 @@ def verify_pairs_device(p_aff, q_aff):
 
 
 def aggregate_g2_device(pubkeys_jac):
-    """Sum of a Jacobian G2 batch -> batch-1 point (PublicKey::aggregate)."""
+    """Sum of a projective G2 batch -> batch-1 point (PublicKey::aggregate)."""
     return dc.g2.msum(pubkeys_jac)
 
 
 def aggregate_g1_device(sigs_jac):
-    """Sum of a Jacobian G1 batch -> batch-1 point (Signature::aggregate)."""
+    """Sum of a projective G1 batch -> batch-1 point (Signature::aggregate)."""
     return dc.g1.msum(sigs_jac)
 
 
@@ -138,8 +138,8 @@ def scalars_to_bits(scalars, nbits=253):
 def msm_g1_device(bits, points_jac):
     """Batched scalar-mul + tree-sum MSM (double-and-add form).
 
-    bits: [nbits, B]; points_jac: G1 Jacobian batch [B]. Returns batch-1
-    Jacobian point = sum_i scalar_i * P_i.
+    bits: [nbits, B]; points_jac: G1 projective batch [B]. Returns batch-1
+    projective point = sum_i scalar_i * P_i.
     The Pippenger bucketed version (windowed, mesh-sharded) lives in
     ops/msm.py; this dense form is the small-batch path
     (PublicKey::batch / Signature::batch semantics, public.rs:47-65).

@@ -1,13 +1,22 @@
 """Batched short-Weierstrass group law on device (G1 over Fq, G2 over Fq2).
 
-Points are Jacobian (X, Y, Z) pytrees of limb arrays; infinity is Z == 0.
-All ops are branch-free: doubling/addition edge cases resolve via selects so
-one traced graph serves every lane (the XLA-friendly reformulation of
-arkworks' branchy Jacobian add — SURVEY.md section 7 hard part (b)).
+Points are homogeneous projective (X, Y, Z) pytrees of limb arrays;
+infinity is (0, 1, 0) (Z == 0). The group law is the COMPLETE a=0
+addition of Renes-Costello-Batina (EUROCRYPT 2016, Algorithms 7-9): one
+formula covers add/double/infinity with NO case selects and NO zero
+tests — the XLA-friendly reformulation of arkworks' branchy Jacobian add
+(SURVEY.md section 7 hard part (b)), and less than half its multiply
+count (12M per add vs ~16M + 7M doubling path + 4 zero tests).
+
+Completeness precondition: inputs lie in the odd-order r-subgroup (the
+formulas admit exceptions only at even-torsion points). Every caller
+satisfies it: signatures/pubkeys are subgroup-checked at deserialization,
+hash-to-curve output is cofactor-cleared, proving/verifying-key elements
+are subgroup points, and sums/multiples stay in the subgroup.
 
 Independent field multiplies inside each formula are stacked into single
-wide kernel calls (F.mul_many layers): a full Jacobian add is ~5 kernel
-dispatches instead of ~16.
+wide kernel calls (F.mul_many layers): a full complete add is 2 kernel
+dispatches of 6 multiplies each.
 
 Host oracle: hostmath/curves.py.
 """
@@ -66,11 +75,16 @@ class _FqWrap:
         return fq.mul_small(a, k)
 
 
-def make_curve_ops(F):
-    """Jacobian group law over field adapter F."""
+def make_curve_ops(F, b3_mul):
+    """Complete a=0 projective group law over field adapter F.
+
+    b3_mul(t) must return 3*b*t (lazy ok) for the curve constant b:
+    a scalar smul for small/rational-looking 3b, one constant multiply
+    per component otherwise.
+    """
 
     def infinity(batch):
-        return (F.ones(batch), F.ones(batch), F.zeros(batch))
+        return (F.zeros(batch), F.ones(batch), F.zeros(batch))
 
     def is_infinity(pt):
         return F.is_zero(pt[2])
@@ -84,60 +98,54 @@ def make_curve_ops(F):
         """Batched; infinity lanes return (0, 0)."""
         X, Y, Z = pt
         zi = F.inv(Z)  # inv(0) = 0, so infinity lanes collapse to (0, 0)
-        zi2 = F.sq(zi)
-        zi3 = F.mul(zi, zi2)
-        xa, ya = F.mul_many([(X, zi2), (Y, zi3)])
+        xa, ya = F.mul_many([(X, zi), (Y, zi)])
         return (xa, ya)
 
     def neg(pt):
         return (pt[0], F.neg(pt[1]), pt[2])
 
     def double(pt):
-        # dbl-2007-bl, 3 stacked-mul layers
-        X1, Y1, Z1 = pt
-        A, B, YZ = F.mul_many([(X1, X1), (Y1, Y1), (Y1, Z1)])
-        E = F.smul(3, A)
-        xb = F.add(X1, B)
-        C, T, FF = F.mul_many([(B, B), (xb, xb), (E, E)])
-        D = F.smul(2, F.sub(T, F.add(A, C)))
-        X3 = F.sub(FF, F.smul(2, D))
-        (Y3a,) = F.mul_many([(E, F.sub(D, X3))])
-        Y3 = F.sub(Y3a, F.smul(8, C))
-        Z3 = F.smul(2, YZ)
+        # RCB Algorithm 9 (a=0): 6M+2S, two stacked-mul layers, complete.
+        X, Y, Z = pt
+        t0, t1, t2, xy = F.mul_many([(Y, Y), (Y, Z), (Z, Z), (X, Y)])
+        z3 = F.smul(8, t0)
+        t2 = b3_mul(t2)
+        y3 = F.add(t0, t2)
+        t0 = F.sub(t0, F.smul(3, t2))
+        X3a, Z3, Y3a, X3b = F.mul_many(
+            [(t2, z3), (t1, z3), (t0, y3), (t0, xy)]
+        )
+        Y3 = F.add(X3a, Y3a)
+        X3 = F.smul(2, X3b)
         return (X3, Y3, Z3)
 
     def add(p1, p2):
-        """Branch-free complete addition (add-2007-bl + selects),
-        5 stacked-mul layers plus the doubling path."""
+        """COMPLETE addition (RCB Algorithm 7, a=0): 12M, two stacked-mul
+        layers, no selects, no zero tests. Valid for any pair of
+        r-subgroup points including infinity and P == Q."""
         X1, Y1, Z1 = p1
         X2, Y2, Z2 = p2
-        Z1Z1, Z2Z2, Z1Z2, S1a, S2a = F.mul_many(
-            [(Z1, Z1), (Z2, Z2), (Z1, Z2), (Y1, Z2), (Y2, Z1)]
-        )
-        U1, U2, S1, S2 = F.mul_many(
-            [(X1, Z2Z2), (X2, Z1Z1), (S1a, Z2Z2), (S2a, Z1Z1)]
-        )
-        H = F.sub(U2, U1)
-        r = F.smul(2, F.sub(S2, S1))
-        inf1, inf2, samex, sames = F.is_zero_many([Z1, Z2, H, F.sub(S2, S1)])
-        H2 = F.smul(2, H)
-        I, r2 = F.mul_many([(H2, H2), (r, r)])
-        J, V, ZH = F.mul_many([(H, I), (U1, I), (Z1Z2, H)])
-        X3 = F.sub(F.sub(r2, J), F.smul(2, V))
-        rV, S1J = F.mul_many([(r, F.sub(V, X3)), (S1, J)])
-        Y3 = F.sub(rV, F.smul(2, S1J))
-        Z3 = F.smul(2, ZH)
-        out = (X3, Y3, Z3)
-        # x equal, y equal -> doubling
-        dbl = double(p1)
-        out = tree_select(samex & sames, dbl, out)
-        # x equal, y differ -> infinity
-        batch = jax.tree.leaves(Z1)[0].shape[1:]
-        out = tree_select(samex & ~sames & ~inf1 & ~inf2, infinity(batch), out)
-        # infinity inputs
-        out = tree_select(inf1, p2, out)
-        out = tree_select(inf2 & ~inf1, p1, out)
-        return out
+        m0, m1, m2, m3, m4, m5 = F.mul_many([
+            (X1, X2),
+            (Y1, Y2),
+            (Z1, Z2),
+            (F.add(X1, Y1), F.add(X2, Y2)),
+            (F.add(Y1, Z1), F.add(Y2, Z2)),
+            (F.add(X1, Z1), F.add(X2, Z2)),
+        ])
+        t3 = F.sub(F.sub(m3, m0), m1)          # (X1+Y1)(X2+Y2)-X1X2-Y1Y2
+        t4 = F.sub(F.sub(m4, m1), m2)          # (Y1+Z1)(Y2+Z2)-Y1Y2-Z1Z2
+        y3p = F.sub(F.sub(m5, m0), m2)         # (X1+Z1)(X2+Z2)-X1X2-Z1Z2
+        x3a = F.smul(3, m0)
+        t2b = b3_mul(m2)
+        z3a = F.add(m1, t2b)
+        t1b = F.sub(m1, t2b)
+        y3b = b3_mul(y3p)
+        q0, q1, q2, q3, q4, q5 = F.mul_many([
+            (t4, y3b), (t3, t1b), (y3b, x3a),
+            (t1b, z3a), (x3a, t3), (z3a, t4),
+        ])
+        return (F.sub(q1, q0), F.add(q3, q2), F.add(q5, q4))
 
     def tree_select(c, a, b):
         return jax.tree.map(lambda x, y: jnp.where(c[None], x, y), a, b)
@@ -146,37 +154,35 @@ def make_curve_ops(F):
         return tree_select(c, a, b)
 
     def madd(p1, a2):
-        """Branch-free complete MIXED addition: p1 (Jacobian) += a2
-        (affine; (0, 0) encodes infinity). madd-2007-bl + selects — the
-        Pippenger / fixed-base accumulator step (11 core muls vs 20 for
-        the full Jacobian add)."""
+        """COMPLETE MIXED addition (RCB Algorithm 8, a=0): p1 (projective)
+        += a2 (affine; (0, 0) encodes infinity). 11M + one select pair for
+        the affine-infinity encoding — the Pippenger / fixed-base
+        accumulator step."""
         X1, Y1, Z1 = p1
         x2, y2 = a2
-        (Z1Z1,) = F.mul_many([(Z1, Z1)])
-        U2, A = F.mul_many([(x2, Z1Z1), (Z1, Z1Z1)])
-        H = F.sub(U2, X1)
-        S2, HH = F.mul_many([(y2, A), (H, H)])
-        rr = F.sub(S2, Y1)
-        inf2x, inf2y, inf1, samex, sames = F.is_zero_many(
-            [x2, y2, Z1, H, rr]
-        )
-        r = F.smul(2, rr)
-        I = F.smul(4, HH)
-        t = F.add(Z1, H)
-        J, V, r2, T2 = F.mul_many([(H, I), (X1, I), (r, r), (t, t)])
-        X3 = F.sub(F.sub(r2, J), F.smul(2, V))
-        Y3a, Y1J = F.mul_many([(r, F.sub(V, X3)), (Y1, J)])
-        Y3 = F.sub(Y3a, F.smul(2, Y1J))
-        Z3 = F.sub(F.sub(T2, Z1Z1), HH)
-        out = (X3, Y3, Z3)
-        inf2 = inf2x & inf2y
-        dbl = double(p1)
-        out = tree_select(samex & sames, dbl, out)
-        batch = jax.tree.leaves(Z1)[0].shape[1:]
-        out = tree_select(samex & ~sames & ~inf1 & ~inf2, infinity(batch), out)
-        out = tree_select(inf1, from_affine(a2), out)
-        out = tree_select(inf2, p1, out)
-        return out
+        m0, m1, m2, m3, m4 = F.mul_many([
+            (X1, x2),
+            (Y1, y2),
+            (F.add(X1, Y1), F.add(x2, y2)),
+            (y2, Z1),
+            (x2, Z1),
+        ])
+        t3 = F.sub(F.sub(m2, m0), m1)
+        t4 = F.add(m3, Y1)
+        y3p = F.add(m4, X1)
+        x3a = F.smul(3, m0)
+        t2b = b3_mul(Z1)
+        z3a = F.add(m1, t2b)
+        t1b = F.sub(m1, t2b)
+        y3b = b3_mul(y3p)
+        q0, q1, q2, q3, q4, q5 = F.mul_many([
+            (t4, y3b), (t3, t1b), (y3b, x3a),
+            (t1b, z3a), (x3a, t3), (z3a, t4),
+        ])
+        out = (F.sub(q1, q0), F.add(q3, q2), F.add(q5, q4))
+        # (0, 0) encodes affine infinity: identity on that lane
+        inf2x, inf2y = F.is_zero_many([x2, y2])
+        return tree_select(inf2x & inf2y, p1, out)
 
     def scalar_mul_bits(bits, pt):
         """Per-lane scalar mul. bits: [nbits, B] uint32 (MSB first)."""
@@ -299,8 +305,7 @@ def make_curve_ops(F):
 
 class _Fq761Wrap(_FqWrap):
     """BW6-761 base-field adapter (both BW6 G1 and G2 live over Fq761;
-    the a=0 Jacobian formulas are curve-constant-free, so one ops instance
-    serves both groups)."""
+    the groups differ only in the curve constant b, i.e. in b3_mul)."""
 
     from .field import fq761 as _f
 
@@ -325,20 +330,43 @@ class _Fq761Wrap(_FqWrap):
         return _f.mul_small(a, k)
 
 
-g1 = make_curve_ops(_FqWrap)
-g2 = make_curve_ops(_F2Wrap)
-bw6_g1 = make_curve_ops(_Fq761Wrap)  # serves BW6 G2 as well
+# --- curve constants: b3_mul(t) = 3*b*t per group --------------------------
+#
+# BLS12-377 G1: y^2 = x^3 + 1        -> 3b = 3 (scalar)
+# BLS12-377 G2: y^2 = x^3 + (0, c1)u-part with c1 = -1/5 (D-type twist):
+#   3b = (0, 3c1); (a0 + a1 u)(0 + 3c1 u) = (-5*3c1*a1, 3c1*a0)
+#   and -15c1 = 3 mod p, so component 0 is a free smul and component 1 one
+#   constant multiply.
+# BW6-761 G1:  y^2 = x^3 - 1         -> 3b = -3 (scalar)
+# BW6-761 G2:  y^2 = x^3 + 4         -> 3b = 12 (scalar)
+
+from ..hostmath.params import G2_B_C1 as _G2_B_C1
+
+
+def _b3_mul_g2(t):
+    a0, a1 = t
+    d = fq.spec.const(3 * _G2_B_C1 % P, a0.shape[1:])
+    return (fq.mul_small(a1, 3), fq.mul(a0, d))
+
+
+g1 = make_curve_ops(_FqWrap, lambda t: _FqWrap.smul(3, t))
+g2 = make_curve_ops(_F2Wrap, _b3_mul_g2)
+bw6_g1 = make_curve_ops(
+    _Fq761Wrap, lambda t: _Fq761Wrap.neg(_Fq761Wrap.smul(3, t))
+)
+bw6_g2 = make_curve_ops(_Fq761Wrap, lambda t: _Fq761Wrap.smul(12, t))
 
 
 # --- host <-> device point packing ----------------------------------------
 
 def pack_jac(spec, points):
-    """List of affine host points (or None) -> device Jacobian batch, for
-    any prime-field spec (FQ for BLS12-377 G1, FQ761 for BW6 G1/G2)."""
+    """List of affine host points (or None) -> device projective batch,
+    for any prime-field spec (FQ for BLS12-377 G1, FQ761 for BW6 G1/G2).
+    Infinity packs as (0, 1, 0)."""
     xs, ys, zs = [], [], []
     for pt in points:
         if pt is None:
-            xs.append(1)
+            xs.append(0)
             ys.append(1)
             zs.append(0)
         else:
@@ -356,7 +384,7 @@ def pack_affine(spec, points):
 
 
 def unpack_jac(curve, spec, dev_pt):
-    """Device Jacobian batch -> list of affine host points (None=infinity)."""
+    """Device projective batch -> list of affine host points (None=infinity)."""
     import numpy as np
 
     x, y = curve.to_affine(dev_pt)
@@ -368,12 +396,12 @@ def unpack_jac(curve, spec, dev_pt):
 
 
 def g1_pack(points):
-    """List of affine host points (or None) -> device Jacobian batch."""
+    """List of affine host points (or None) -> device projective batch."""
     return pack_jac(FQ, points)
 
 
 def g1_unpack(dev_pt):
-    """Device Jacobian batch -> list of affine host points (None=infinity)."""
+    """Device projective batch -> list of affine host points (None=infinity)."""
     import numpy as np
 
     x, y = g1.to_affine(dev_pt)
@@ -388,7 +416,7 @@ def g2_pack(points):
     xs0, xs1, ys0, ys1, zs = [], [], [], [], []
     for pt in points:
         if pt is None:
-            xs0.append(1)
+            xs0.append(0)
             xs1.append(0)
             ys0.append(1)
             ys1.append(0)

@@ -296,6 +296,68 @@ def _make_pallas_mul(spec: "FieldSpec"):
     return mul
 
 
+def _make_pallas_redc(spec: "FieldSpec"):
+    """Montgomery-reduction-only kernel: lazy x -> canonical limbs of
+    x * R^-1 mod p, value < 2p. HALF a multiply (no a*b phase) — serves
+    zero tests (x == 0 mod p iff REDC(x) in {0, p}) and Montgomery->raw
+    stripping (to_raw)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = spec.n
+    p_limbs = [int(x) for x in spec.p_limbs]
+    off_limbs = [int(x) for x in spec.offset_limbs]
+    n0inv = np.uint32(spec.n0inv)
+
+    def kernel(a_ref, o_ref):
+        blk = a_ref.shape[1]
+        s = blk // 128
+
+        x = a_ref[...].reshape(n, s, 128)
+        a = []
+        carry = jnp.zeros((s, 128), jnp.int32)
+        for k in range(n):
+            v = x[k] + np.int32(off_limbs[k]) + carry
+            carry = v >> LIMB_BITS
+            a.append((v - (carry << LIMB_BITS)).astype(jnp.uint32))
+
+        z = jnp.zeros((s, 128), jnp.uint32)
+        t = a + [z, z]
+        for _ in range(n):
+            m = (t[0] * n0inv) & LIMB_MASK
+            for j in range(n):
+                prod = m * np.uint32(p_limbs[j])
+                t[j] = t[j] + (prod & LIMB_MASK)
+                t[j + 1] = t[j + 1] + (prod >> LIMB_BITS)
+            t[1] = t[1] + (t[0] >> LIMB_BITS)
+            t = t[1:] + [z]
+        out = []
+        carry = z
+        for k in range(n):
+            v = t[k] + carry
+            out.append((v & LIMB_MASK).astype(jnp.int32))
+            carry = v >> LIMB_BITS
+        o_ref[...] = jnp.stack(out).reshape(n, blk)
+
+    def redc(a):
+        B = a.shape[-1]
+        cap = _PALLAS_MAX_BLK if n <= 32 else _PALLAS_MAX_BLK // 4
+        blk = B if B <= cap else cap
+        while B % blk:
+            blk //= 2
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, B), jnp.int32),
+            grid=(B // blk,),
+            in_specs=[
+                pl.BlockSpec((n, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        )(a)
+
+    return redc
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() not in ("cpu",)
@@ -312,6 +374,7 @@ def make_field_ops(spec: FieldSpec):
     p_np = spec.p_limbs.astype(np.uint32)
     idx_np = _conv_idx(n, 2 * n)
     pallas_mul_holder = []
+    pallas_redc_holder = []
 
     # --- lazy ops: single elementwise int32 instructions ------------------
     def add(a, b):
@@ -324,7 +387,9 @@ def make_field_ops(spec: FieldSpec):
         return -a
 
     def mul_small(a, k: int):
-        assert 0 <= k <= 8
+        # audited ceiling: 12 * (sum of a few canonical limbs) < 2^26,
+        # the lazy-normalize bound (largest user: BW6 G2's b3 = 12)
+        assert 0 <= k <= 12
         return a * np.int32(k)
 
     def select(c, a, b):
@@ -389,25 +454,47 @@ def make_field_ops(spec: FieldSpec):
     def sq(a):
         return mul(a, a)
 
-    # --- mod-p semantic predicates (canonicalize via one multiply) --------
+    # --- Montgomery reduction (REDC): half a multiply ----------------------
+    def redc_many(vals):
+        """Stacked REDC: lazy values -> canonical limbs of v*R^-1 mod p,
+        each < 2p, ONE half-mul kernel call for k values (TPU), or the
+        conv mul-by-raw-one on CPU."""
+        batch = jnp.broadcast_shapes(*[v.shape[1:] for v in vals])
+        if _on_tpu():
+            assert len(batch) == 1, "field batch must be 1-D"
+            A = jnp.concatenate(
+                [jnp.broadcast_to(v, (n, *batch)) for v in vals], axis=-1
+            )
+            B = A.shape[-1]
+            pad = (-B) % 128
+            if pad:
+                A = jnp.pad(A, ((0, 0), (0, pad)))
+            if not pallas_redc_holder:
+                pallas_redc_holder.append(_make_pallas_redc(spec))
+            out = pallas_redc_holder[0](A)
+            out = out[:, :B] if pad else out
+            w = batch[-1]
+            return [out[..., i * w : (i + 1) * w] for i in range(len(vals))]
+        one_raw = jnp.zeros((n, *batch), dtype=jnp.int32).at[0].set(1)
+        return [mul_conv(jnp.broadcast_to(v, (n, *batch)), one_raw) for v in vals]
+
+    # --- mod-p semantic predicates (canonicalize via one half-multiply) ---
     def canon2p(a):
         """Lazy value -> canonical limbs with value < 2p (mod p preserved):
         Montgomery-multiply by R (the Montgomery form of 1)."""
         return mul(a, spec.ones(a.shape[1:]))
 
     def is_zero(a):
-        z = canon2p(a)
-        pl_ = jnp.asarray(p_np.astype(np.int32)).reshape(n, *([1] * (a.ndim - 1)))
-        return jnp.all(z == 0, axis=0) | jnp.all(z == pl_, axis=0)
+        return is_zero_many([a])[0]
 
     def eq(a, b):
         return is_zero(a - b)
 
     def is_zero_many(vals):
-        """Stacked zero-tests: ONE kernel call for k values."""
-        k = len(vals)
+        """Stacked zero-tests (x == 0 mod p iff REDC(x) in {0, p}):
+        ONE half-mul kernel call for k values."""
         batch = vals[0].shape[1:]
-        outs = mul_many([(v, spec.ones(batch)) for v in vals])
+        outs = redc_many(vals)
         pl_ = jnp.asarray(p_np.astype(np.int32)).reshape(n, *([1] * len(batch)))
         return [
             jnp.all(z == 0, axis=0) | jnp.all(z == pl_, axis=0) for z in outs
@@ -433,9 +520,8 @@ def make_field_ops(spec: FieldSpec):
 
     def to_raw(a):
         """Montgomery (lazy ok) -> RAW canonical limbs in [0, p):
-        mont_mul(v*R, 1) = v, then one conditional subtract."""
-        one = jnp.zeros_like(a).at[0].set(1)
-        z = mul(a, one).astype(jnp.uint32)
+        REDC(v*R) = v (half a multiply), then one conditional subtract."""
+        z = redc_many([a])[0].astype(jnp.uint32)
         diff, borrow = _sub_limbs_u32(
             z, jnp.broadcast_to(jnp.asarray(p_np)[:, None], z.shape)
         )
@@ -490,6 +576,7 @@ def make_field_ops(spec: FieldSpec):
     ops.mul_many = mul_many
     ops.sq = sq
     ops.mul_small = mul_small
+    ops.redc_many = redc_many
     ops.is_zero = is_zero
     ops.is_zero_many = is_zero_many
     ops.eq = eq

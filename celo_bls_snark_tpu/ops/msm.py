@@ -45,8 +45,8 @@ from .field import FQ, FQ761
 # ---------------------------------------------------------------------------
 
 def _bitplane_msm(curve, bits, pts_jac):
-    """bits: [nbits, B] (MSB first); pts_jac: Jacobian batch [B].
-    Returns batch-1 Jacobian point."""
+    """bits: [nbits, B] (MSB first); pts_jac: projective batch [B].
+    Returns batch-1 projective point."""
     nbits = bits.shape[0]
     batch = bits.shape[1:]
     inf = curve.infinity(batch)
@@ -141,7 +141,7 @@ def plan_msm_generic(scalars, nbits: int, c: int, L: int):
 
 
 def _pippenger_device(curve, points_aff, perm, lin, lane, valid, c: int, L: int):
-    """One Jacobian batch-1 point = sum_i scalar_i * P_i (see module doc).
+    """One projective batch-1 point = sum_i scalar_i * P_i (see module doc).
     points_aff: (x, y) affine leaves [n, B]; plan arrays from plan_msm."""
     W, B = perm.shape
     K = B // L
@@ -286,7 +286,7 @@ def fixed_base_table(curve_host, base, nbits: int, c: int):
 
 
 def _fixed_base_device(curve, table_aff, digits):
-    """digits [W, B] (table-offset encoded); returns Jacobian batch [B]."""
+    """digits [W, B] (table-offset encoded); returns projective batch [B]."""
     def step(acc, dg):
         pt = jax.tree.map(lambda t: jnp.take(t, dg, axis=-1), table_aff)
         return curve.madd(acc, pt), None

@@ -11,7 +11,7 @@ here the same stages run as sharded device kernels:
                               NTT pipeline fully on device (ops/ntt.py)
 
 One DeviceAccel instance per pairing engine ("bls12_377", "bw6_761" — for
-BW6-761 both G1 and G2 live over Fq761, ops/curve.py::bw6_g1). Passed as
+BW6-761 both G1 and G2 live over Fq761; ops/curve.py::bw6_g1/bw6_g2 differ in the curve constant b). Passed as
 the optional `accel` argument of snark/groth16.py entry points.
 """
 
@@ -116,9 +116,9 @@ class DeviceAccel:
                 spec=FQ761,
             )
             self.g2 = _Group(
-                "bw6-g2", dc.bw6_g1, hbw6.G2, hbw6.G2_GENERATOR, 377,
+                "bw6-g2", dc.bw6_g2, hbw6.G2, hbw6.G2_GENERATOR, 377,
                 lambda pts: dc.pack_affine(FQ761, pts),
-                lambda dev: dc.unpack_jac(dc.bw6_g1, FQ761, dev),
+                lambda dev: dc.unpack_jac(dc.bw6_g2, FQ761, dev),
                 spec=FQ761,
             )
         else:
