@@ -103,7 +103,8 @@ def main():
     # warmup + correctness (np.asarray forces real sync through the tunnel;
     # block_until_ready does not on the axon platform)
     ok = bool(np.asarray(fn(sigs_jac, hashes_jac, apk_aff))[0])
-    assert ok, "benchmark verification failed — kernels are broken"
+    if not ok:
+        raise RuntimeError("benchmark verification failed — kernels are broken")
 
     # timed runs (device-serialized; fetch at the end is the sync point)
     n_iter = 5
@@ -112,7 +113,8 @@ def main():
         out = fn(sigs_jac, hashes_jac, apk_aff)
     ok = bool(np.asarray(out)[0])
     dt = (time.perf_counter() - t0) / n_iter
-    assert ok
+    if not ok:
+        raise RuntimeError("benchmark verification failed on timed run")
     rate = n_messages / dt
 
     print(

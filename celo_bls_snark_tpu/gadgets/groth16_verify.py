@@ -41,14 +41,19 @@ class ProofVar:
 
     @classmethod
     def new_witness(cls, cs, proof):
-        """proof: groth16.Proof or None (setup mode / placeholder)."""
+        """proof: groth16.Proof or None (setup mode / placeholder).
+
+        Allocation is CHECKED (curve equation enforced per element),
+        matching ark's ProofVar::new_witness (epoch_bits.rs:110), whose SW
+        AffineVar allocation omits only the prime-order check — off-curve
+        proof elements would make the Miller-loop algebra a non-pairing."""
         a = proof.a if proof is not None else G1_GENERATOR
         b = proof.b if proof is not None else G2_GENERATOR
         c = proof.c if proof is not None else G1_GENERATOR
         return cls(
-            G1Var.new_witness(cs, a),
-            G2Var.new_witness(cs, b),
-            G1Var.new_witness(cs, c),
+            G1Var.new_witness_checked(cs, a),
+            G2Var.new_witness_checked(cs, b),
+            G1Var.new_witness_checked(cs, c),
         )
 
 
@@ -58,6 +63,13 @@ def _prepare_inputs(cs, vk, input_bit_chunks):
         f"{len(input_bit_chunks)} input chunks vs "
         f"{len(vk.gamma_abc_g1) - 1} vk inputs"
     )
+    # NOTE: the conditional-add chain below uses add_unchecked, which is
+    # unsatisfiable when the two operands share an x-coordinate. The addends
+    # are fixed vk-derived constants and acc is their running subset-sum, so
+    # an honest prover only hits an equal-x collision with negligible
+    # probability (the vk points are setup-randomized); a malicious prover
+    # gains nothing — a failed add makes the circuit UNsatisfiable, never
+    # satisfiable-with-wrong-value. Same caveat as ark's AffineVar chains.
     acc = G1Var.constant(cs, vk.gamma_abc_g1[0])
     for i, bits in enumerate(input_bit_chunks):
         base = vk.gamma_abc_g1[i + 1]

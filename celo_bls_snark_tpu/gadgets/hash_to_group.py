@@ -19,9 +19,12 @@ from .curve_vars import G1Var
 from .y_to_bit import g1_y_to_bit
 from .hash_to_bits import hash_to_bits
 from .pedersen import pedersen_crh_gadget
+from ..utils.config import get_config
 
-# compat (deployed Celo): sign bit position 377; upstream: 383
-SIGN_BIT_POSITION = 377
+# compat (deployed Celo): sign bit position 377; upstream (non-compat): 383
+# — the reference switches on the `compat` cargo feature
+# (hash_to_group.rs:39-44); here it's Config.compat_sign_bit, read at call
+# time so a process can pin either mode.
 X_BITS = 377
 
 
@@ -29,7 +32,7 @@ def hash_to_group(cs, xof_bits):
     """xof_bits: 512 Booleans (LE). Returns the cofactor-cleared G1Var."""
     with cs.ns("hash_to_group"):
         x_bits = xof_bits[:X_BITS]
-        sign_bit = xof_bits[SIGN_BIT_POSITION]
+        sign_bit = xof_bits[get_config().compat_sign_bit]
         # witness the decompressed point from the native values
         if cs.is_in_setup_mode():
             pt = None

@@ -309,9 +309,10 @@ def fixed_base_batch_mul(curve, curve_key, table_aff, digits):
         # XLA's CPU executable (de)serializer segfaults on exactly this
         # scan+gather program (observed on both the cache-write and
         # cache-read paths under pytest); skip the persistent cache here.
+        prev = jax.config.jax_enable_compilation_cache
         try:
             jax.config.update("jax_enable_compilation_cache", False)
             return fn(table_aff, jnp.asarray(digits))
         finally:
-            jax.config.update("jax_enable_compilation_cache", True)
+            jax.config.update("jax_enable_compilation_cache", prev)
     return fn(table_aff, jnp.asarray(digits))

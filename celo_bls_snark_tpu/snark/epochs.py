@@ -91,8 +91,11 @@ class ValidatorSetUpdate:
                 cs, first_index, first_entropy, initial_pubkeys, initial_maxns
             )
 
-            # (n+1)-pairing aggregate-signature verification
-            sig_var = G1Var.new_witness(cs, self.aggregated_signature)
+            # (n+1)-pairing aggregate-signature verification. Checked
+            # allocation mirrors ark's omit_prime_order_check semantics
+            # (epochs.rs:304): the curve equation is still enforced — an
+            # off-curve "signature" witness must be unsatisfiable.
+            sig_var = G1Var.new_witness_checked(cs, self.aggregated_signature)
             gbls.batch_verify_prepared(
                 cs, list(zip(aggregated_pks, message_hashes)), sig_var
             )

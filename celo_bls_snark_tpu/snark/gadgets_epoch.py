@@ -87,7 +87,12 @@ class EpochDataGadget:
 
         pubkey_vars = []
         for pk in self.public_keys:
-            pk_var = G2Var.new_witness(cs, pk)
+            # checked allocation: ark's new_variable_omit_prime_order_check
+            # (epoch_data.rs:194) still enforces the curve equation on the
+            # witnessed coordinates — only x and the y-sign bit are bound by
+            # the epoch encoding, so an unchecked y would let a malicious
+            # prover feed off-curve points into the pairing gadget.
+            pk_var = G2Var.new_witness_checked(cs, pk)
             pk_bits = g2_to_bits(cs, pk_var)
             epoch_bits += pk_bits
             first_epoch_bits += pk_bits
@@ -124,6 +129,7 @@ class EpochDataGadget:
         from ..hash_to_curve import composite_hash_to_g1_cip22
         from ..bls import SIG_DOMAIN
         from ..utils.bits import bits_le_to_bytes_le
+        from ..utils.config import get_config
 
         with cs.ns("hash_bits_to_g1"):
             # reverse to LE and pad to whole bytes (with constant zeros)
@@ -140,9 +146,12 @@ class EpochDataGadget:
             else:
                 msg_bytes = bits_le_to_bytes_le([bool(b.value) for b in msg_bits])
                 extra_bytes = bits_le_to_bytes_le([bool(b.value) for b in extra_bits])
-                _, counter = composite_hash_to_g1_cip22().hash_with_attempt_cip22(
-                    SIG_DOMAIN, msg_bytes, extra_bytes
-                )
+                # the witness-side native hasher must use the same sign-bit
+                # convention the in-circuit extraction will enforce
+                compat = get_config().compat_sign_bit == 377
+                _, counter = composite_hash_to_g1_cip22(
+                    compat=compat
+                ).hash_with_attempt_cip22(SIG_DOMAIN, msg_bytes, extra_bytes)
             counter_bits = [
                 Boolean.new_witness(cs, bool((counter >> i) & 1)) for i in range(8)
             ]

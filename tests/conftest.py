@@ -30,6 +30,37 @@ if jax.config.jax_platforms != "cpu":
 # best-effort, and long suite runs were segfaulting inside zstd cache
 # reads of entries from the shared dir (see round-2 notes) — never mix
 # CPU- and TPU-written caches.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+#
+# The dir is additionally keyed by a fingerprint of the host CPU's feature
+# flags: XLA:CPU AOT executables embed the compile machine's features and
+# loading one compiled on a different machine can SIGILL/SIGSEGV ("Machine
+# type used for XLA:CPU compilation doesn't match the machine type for
+# execution"). A stale cache left behind by a different host must start
+# cold, not be deserialized.
+import hashlib
+
+
+def _cpu_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.blake2s(
+                        " ".join(sorted(line.split()[2:])).encode(),
+                        digest_size=6,
+                    ).hexdigest()
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.blake2s(
+        platform.processor().encode(), digest_size=6
+    ).hexdigest()
+
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    f"/root/repo/.jax_cache_cpu_{_cpu_fingerprint()}",
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -75,6 +75,32 @@ class TestValidatorSetUpdate:
         cs = _build(initial, updates, asig)
         assert not cs.is_satisfied()
 
+    def test_off_curve_pubkey_unsatisfiable(self, chain):
+        """A witnessed epoch pubkey OFF the curve must be unsatisfiable:
+        the epoch encoding binds only x and the y-sign bit, so without the
+        checked allocation (ark epoch_data.rs:194 parity) a malicious
+        prover could witness an arbitrary y and feed the pairing gadget a
+        non-point."""
+        initial, transitions, _l, _u, asig = chain
+        updates = [
+            _to_update(transitions[0]),
+            _to_dummy_update(3),
+            _to_update(transitions[1]),
+        ]
+        ed = updates[0].epoch_data
+        x, y = ed.public_keys[0]
+        ed.public_keys[0] = (x, ((y[0] + 1) % P, y[1]))
+        cs = _build(initial, updates, asig)
+        assert not cs.is_satisfied()
+
+    def test_off_curve_signature_unsatisfiable(self, chain):
+        """An off-curve aggregated-signature witness must be unsatisfiable
+        (ark epochs.rs:304 allocation parity)."""
+        initial, _t, _l, updates, asig = chain
+        bad_sig = (asig[0], (asig[1] + 1) % P)
+        cs = _build(initial, updates, bad_sig)
+        assert not cs.is_satisfied()
+
     def test_xof_streams_match_native_helper_statement(self, chain):
         """The circuit's collected XOF input/output bits must equal the
         native hash-helper statement (api.xof_input_message_bits) — the

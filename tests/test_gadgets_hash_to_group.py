@@ -60,6 +60,30 @@ class TestHashToGroupGadget:
         assert g1.value() == native_pt
         assert cs.is_satisfied()
 
+    def test_matches_native_non_compat_mode(self):
+        """Non-compat (upstream zexe) sign-bit position 383, the
+        reference's `--no-default-features` CI leg (hash_to_group.rs:39-44):
+        the gadget must track Config.compat_sign_bit and agree with the
+        native compat=False hasher."""
+        from celo_bls_snark_tpu.utils.config import (
+            Config, get_config, set_config,
+        )
+        from dataclasses import replace
+
+        prev = get_config()
+        set_config(replace(prev, compat_sign_bit=383))
+        try:
+            h2c = composite_hash_to_g1_cip22(compat=False)
+            msg, extra = b"epoch message for h2g", b"xx"
+            native_pt, counter = h2c.hash_with_attempt_cip22(
+                SIG_DOMAIN, msg, extra
+            )
+            cs, g1 = self._build(msg, extra, counter, True)
+            assert g1.value() == native_pt
+            assert cs.is_satisfied()
+        finally:
+            set_config(prev)
+
     def test_wrong_counter_breaks(self):
         h2c = composite_hash_to_g1_cip22()
         msg, extra = b"epoch message for h2g", b"xx"

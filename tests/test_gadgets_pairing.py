@@ -141,15 +141,18 @@ class TestBlsVerifyGadget:
         return pks, h, asig
 
     def _build(self, pks, bitmap_vals, h, asig, max_ns):
+        # checked allocation throughout — same semantics as ark's
+        # new_variable_omit_prime_order_check, so the pinned count below is
+        # apples-to-apples with the reference's 18,702 (bls.rs:401).
         cs = ConstraintSystem(P, "prove")
-        pk_vars = [G2Var.new_witness(cs, pk) for pk in pks]
+        pk_vars = [G2Var.new_witness_checked(cs, pk) for pk in pks]
         bitmap = [Boolean.new_witness(cs, b) for b in bitmap_vals]
         gbls.verify(
             cs,
             pk_vars,
             bitmap,
-            G1Var.new_witness(cs, h),
-            G1Var.new_witness(cs, asig),
+            G1Var.new_witness_checked(cs, h),
+            G1Var.new_witness_checked(cs, asig),
             FpVar.const(cs, max_ns),
         )
         return cs
@@ -173,13 +176,15 @@ class TestBlsVerifyGadget:
         assert not cs.is_satisfied()
 
     def test_verify_constraint_count(self):
-        """Single-signature verify costs 18,420 constraints — BELOW the
-        reference's pinned 18,702 (bls.rs:401, ark's Bls12-377 PairingVar):
-        same sparse-line Miller loop + Granger-Scott cyclotomic final exp,
-        leaner NAND-materialization in the bitmap chain. Pinned here as a
-        regression guard (any count change must be deliberate)."""
+        """Single-signature verify costs 18,439 constraints WITH checked
+        (on-curve-enforcing) point allocation — BELOW the reference's pinned
+        18,702 (bls.rs:401, ark's Bls12-377 PairingVar), which includes the
+        same allocation checks: same sparse-line Miller loop + Granger-Scott
+        cyclotomic final exp, leaner NAND-materialization in the bitmap
+        chain. Pinned here as a regression guard (any count change must be
+        deliberate)."""
         bitmap_vals = [True]
         pks, h, asig = self._setup_sigs(bitmap_vals)
         cs = self._build(pks, bitmap_vals, h, asig, 0)
         assert cs.is_satisfied()
-        assert cs.num_constraints == 18420
+        assert cs.num_constraints == 18439

@@ -75,6 +75,17 @@ class TestGroth16Recursion:
         cs = _outer_cs(vk, bad_proof, bits)
         assert cs.which_is_unsatisfied() is not None
 
+    def test_off_curve_proof_element_unsatisfiable(self, inner):
+        """ProofVar allocation is checked (epoch_bits.rs:110 / ark
+        ProofVar::new_witness parity): a proof element off the curve —
+        which would otherwise turn the Miller loop into a non-pairing —
+        must make the outer system unsatisfiable."""
+        vk, proof, bits = inner
+        ax, ay = proof.a
+        bad_proof = g16.Proof(a=(ax, (ay + 1) % BW_FR), b=proof.b, c=proof.c)
+        cs = _outer_cs(vk, bad_proof, bits)
+        assert cs.which_is_unsatisfied() is not None
+
     def test_flipped_input_bit_unsatisfiable(self, inner):
         vk, proof, bits = inner
         flipped = [not bits[0]] + bits[1:]
