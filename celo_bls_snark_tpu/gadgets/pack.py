@@ -25,7 +25,7 @@ def multipack(cs, bits, element_size: int, as_input: bool):
             fp = alloc(cs, 0 if val is None else val)
             pack_lc = LinearCombination()
             for i, b in enumerate(chunk):
-                pack_lc = pack_lc + b.lc().scale(1 << (len(chunk) - 1 - i))
+                pack_lc.add_scaled_(b.lc(), 1 << (len(chunk) - 1 - i))
             cs.enforce_constraint(
                 pack_lc, LinearCombination.constant(1), fp.lc
             )

@@ -60,7 +60,7 @@ class UInt32:
         known = True
         for op in operands:
             for i, b in enumerate(op.bits):
-                total_lc = total_lc + b.lc().scale(1 << i)
+                total_lc.add_scaled_(b.lc(), 1 << i)
             v = op.value()
             if v is None:
                 known = False
@@ -75,6 +75,6 @@ class UInt32:
             )
         pack = LinearCombination()
         for i, b in enumerate(out_bits):
-            pack = pack + b.lc().scale(1 << i)
+            pack.add_scaled_(b.lc(), 1 << i)
         cs.enforce_constraint(pack, LinearCombination.constant(1), total_lc)
         return UInt32(out_bits[:32])

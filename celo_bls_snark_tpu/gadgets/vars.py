@@ -323,7 +323,7 @@ class FpVar:
                 bits.append(Boolean.new_witness(cs, (v >> i) & 1))
         pack = LinearCombination()
         for i, b in enumerate(bits):
-            pack = pack + b.lc().scale(1 << i)
+            pack.add_scaled_(b.lc(), 1 << i)
         cs.enforce_constraint(pack, LinearCombination.constant(1), self.lc)
         return bits
 

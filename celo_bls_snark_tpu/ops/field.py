@@ -87,20 +87,29 @@ class FieldSpec:
         return limbs_to_int(limbs) * pow(self.mont_r, -1, self.modulus) % self.modulus
 
     def pack(self, values) -> np.ndarray:
-        """Iterable of ints -> [n, B] int32 Montgomery array (canonical)."""
-        return np.stack([self.to_mont(int(v)) for v in values], axis=-1)
+        """Iterable of ints -> [n, B] int32 Montgomery array (canonical).
+        One host mulmod per value + one bytes pass (the per-limb Python
+        shifting of int_to_limbs was the prover's marshaling bottleneck —
+        ~15us/element vs ~1.5us here at 761 bits)."""
+        m, r = self.modulus, self.mont_r
+        return self._limbs_from_ints([int(v) * r % m for v in values])
 
-    def pack_raw(self, values) -> np.ndarray:
-        """Iterable of ints in [0, p) -> RAW (non-Montgomery) [n, B] limbs,
-        via one bytes pass — numpy-fast for large batches. Convert to
-        Montgomery form on device with ops.from_raw (one kernel call)."""
+    def _limbs_from_ints(self, ints) -> np.ndarray:
+        """List of canonical ints in [0, p) -> [n, B] int32 limbs via one
+        bytes pass."""
         nb = 2 * self.n
-        buf = b"".join(int(v).to_bytes(nb, "little") for v in values)
+        buf = b"".join(v.to_bytes(nb, "little") for v in ints)
         return (
             np.frombuffer(buf, dtype="<u2")
             .reshape(-1, self.n)
             .T.astype(np.int32)
         )
+
+    def pack_raw(self, values) -> np.ndarray:
+        """Iterable of ints in [0, p) -> RAW (non-Montgomery) [n, B] limbs,
+        via one bytes pass — numpy-fast for large batches. Convert to
+        Montgomery form on device with ops.from_raw (one kernel call)."""
+        return self._limbs_from_ints([int(v) for v in values])
 
     def unpack_raw(self, arr) -> list:
         """RAW canonical [n, B] limbs -> list of ints (numpy-fast)."""
@@ -113,10 +122,25 @@ class FieldSpec:
         ]
 
     def unpack(self, arr) -> list:
-        """[n, ...] -> flat list of ints (standard form, mod p applied)."""
-        arr = np.asarray(arr)
-        flat = arr.reshape(self.n, -1)
-        return [self.from_mont(flat[:, i]) for i in range(flat.shape[1])]
+        """[n, ...] -> flat list of ints (standard form, mod p applied).
+        Handles lazy-redundant limbs (int32, possibly NEGATIVE from the
+        offset-subtraction ops): the value splits into a low-16 plane and
+        an offset-biased high plane (hi + 2^15, always in [0, 2^16)), each
+        recombined with one bytes pass, then one host mulmod by R^-1."""
+        flat = np.asarray(arr, dtype=np.int64).reshape(self.n, -1)
+        B = flat.shape[1]
+        nb = 2 * self.n
+        lo = (flat & 0xFFFF).astype("<u2").T.tobytes()
+        hi = ((flat >> 16) + (1 << 15)).astype("<u2").T.tobytes()
+        bias = sum(1 << (15 + 16 * (i + 1)) for i in range(self.n))
+        rinv, m = pow(self.mont_r, -1, self.modulus), self.modulus
+        ifb = int.from_bytes
+        return [
+            (ifb(lo[i * nb : (i + 1) * nb], "little")
+             + (ifb(hi[i * nb : (i + 1) * nb], "little") << 16) - bias)
+            * rinv % m
+            for i in range(B)
+        ]
 
     def zeros(self, batch_shape) -> jnp.ndarray:
         return jnp.zeros((self.n, *batch_shape), dtype=jnp.int32)

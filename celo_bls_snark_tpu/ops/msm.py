@@ -216,12 +216,21 @@ def _pippenger_jit(curve_key, curve, c, L):
     return _PIPPENGER_JIT_CACHE[key]
 
 
+_BASE_PACK_CACHE = {}
+
+
 def msm_pippenger(points, scalars, curve=None, spec=None, nbits=None,
-                  c=None, L=None, pack_fn=None, unpack_fn=None):
+                  c=None, L=None, pack_fn=None, unpack_fn=None,
+                  cache_key=None):
     """Host entry: affine host points (None = infinity) x python-int
     scalars -> affine host point. Defaults to BLS12-377 G1; pass
     (curve=dc.bw6_g1, spec=FQ761, nbits=377) for BW6-761 G1/G2, or custom
-    pack_fn/unpack_fn for tower-coordinate groups (BLS12-377 G2)."""
+    pack_fn/unpack_fn for tower-coordinate groups (BLS12-377 G2).
+
+    cache_key: opaque hashable identifying a FIXED base-point set (e.g. a
+    proving-key query array). When set, the packed device-resident bases
+    are memoized so repeated proofs skip the host marshaling — the caller
+    guarantees the same key is never reused with different points."""
     from ..utils.config import get_config
 
     cfg = get_config()
@@ -235,8 +244,14 @@ def msm_pippenger(points, scalars, curve=None, spec=None, nbits=None,
             1 << max(3, min(12, (B0.bit_length() - 1) // 2 + 3))
         )
     perm, lin, lane, valid, B = plan_msm(list(scalars), nbits, c, L)
-    pts = list(points) + [None] * (B - B0)
-    pts_aff = pack_fn(pts) if pack_fn else dc.pack_affine(spec, pts)
+    full_key = (cache_key, B0, B) if cache_key is not None else None
+    pts_aff = _BASE_PACK_CACHE.get(full_key) if full_key else None
+    if pts_aff is None:
+        pts = list(points) + [None] * (B - B0)
+        pts_aff = pack_fn(pts) if pack_fn else dc.pack_affine(spec, pts)
+        if full_key is not None and cfg.msm_cache_bases:
+            pts_aff = jax.tree.map(jnp.asarray, pts_aff)
+            _BASE_PACK_CACHE[full_key] = pts_aff
     fn = _pippenger_jit(id(curve), curve, c, L)
     out = fn(pts_aff, perm, lin, lane, valid)
     if unpack_fn is not None:

@@ -15,6 +15,8 @@ layer 0); this module provides the same semantics for the gadget layer:
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 
 ONE = ("one", 0)
 
@@ -43,6 +45,14 @@ class LinearCombination:
     def constant(cls, c):
         return cls({ONE: c}) if c else cls()
 
+    @classmethod
+    def _owned(cls, terms: dict):
+        """Constructor that takes ownership of `terms` (no copy) — for the
+        in-place accumulation fast paths."""
+        lc = cls.__new__(cls)
+        lc.terms = terms
+        return lc
+
     def __add__(self, other):
         out = dict(self.terms)
         for v, c in other.terms.items():
@@ -50,6 +60,19 @@ class LinearCombination:
             if out[v] == 0:
                 del out[v]
         return LinearCombination(out)
+
+    def add_scaled_(self, other, k):
+        """In-place self += k * other. The O(1)-per-term accumulator the
+        gadget hot loops (uint32.addmany, bit packing) use instead of the
+        quadratic copy chain of repeated `lc = lc + term.scale(k)`."""
+        t = self.terms
+        for v, c in other.terms.items():
+            nc = t.get(v, 0) + c * k
+            if nc:
+                t[v] = nc
+            else:
+                del t[v]
+        return self
 
     def __sub__(self, other):
         return self + other.scale(-1)
@@ -189,6 +212,81 @@ class ConstraintSystem:
                 )
                 m.append([t for t in row if t[0] != 0])
         return mats
+
+    def to_csr(self):
+        """A, B, C in CSR form, cached: each matrix is
+        (indptr int64 [nc+1], cols int32 [nnz], coeffs object [nnz]).
+
+        Unlike to_matrices (the canonical sorted form matrix_hash pins),
+        term order within a row is unspecified and coefficients stay RAW
+        (not reduced mod p — gadget coeffs are small, and keeping them
+        small makes the object-array eval fast). This is the prover's
+        evaluation form (groth16._compute_h, _qap_evals_at_tau)."""
+        if getattr(self, "_csr", None) is not None and self._csr_nc == len(self.constraints):
+            return self._csr
+        ni = self.num_instance
+        mats = []
+        for which in range(3):
+            indptr = np.empty(len(self.constraints) + 1, dtype=np.int64)
+            indptr[0] = 0
+            cols = []
+            coeffs = []
+            ap = cols.append
+            cp = coeffs.append
+            for j, con in enumerate(self.constraints):
+                lc = (con.a, con.b, con.c)[which]
+                for (kind, idx), c in lc.terms.items():
+                    if kind == "w":
+                        ap(ni + idx)
+                    else:  # "one" has idx 0; "x" carries its index
+                        ap(idx)
+                    cp(c)
+                indptr[j + 1] = len(cols)
+            mats.append(
+                (indptr, np.asarray(cols, dtype=np.int64),
+                 np.asarray(coeffs, dtype=object))
+            )
+        self._csr = tuple(mats)
+        self._csr_nc = len(self.constraints)
+        return self._csr
+
+    def eval_csr(self, csr_mat, z_obj):
+        """One matrix's row evaluations M @ z mod p as an object array.
+        z_obj: object array of the full assignment [instance | witness]."""
+        indptr, cols, coeffs = csr_mat
+        nc = len(indptr) - 1
+        if len(cols) == 0:
+            return np.zeros(nc, dtype=object)
+        prod = coeffs * z_obj[cols]
+        prod = np.append(prod, np.zeros(1, dtype=object))  # reduceat sentinel
+        out = np.add.reduceat(prod, indptr[:-1])
+        empty = indptr[1:] == indptr[:-1]
+        if empty.any():
+            out[empty] = 0
+        return out % self.p
+
+    def full_assignment_obj(self):
+        """Full assignment as a numpy object array (for eval_csr)."""
+        z = np.empty(self.num_instance + self.num_witness, dtype=object)
+        z[: self.num_instance] = self.instance_assignment
+        z[self.num_instance :] = self.witness_assignment
+        return z
+
+    def evaluate_abc(self):
+        """(A@z, B@z, C@z) mod p as object arrays — the shared input of the
+        satisfaction check and the prover's QAP evaluation."""
+        csr = self.to_csr()
+        z = self.full_assignment_obj()
+        return tuple(self.eval_csr(m, z) for m in csr)
+
+    def which_is_unsatisfied_from_evals(self, a_e, b_e, c_e):
+        """First violated constraint index + trace from evaluate_abc()
+        output, or None — which_is_unsatisfied without re-evaluating."""
+        bad = np.nonzero((a_e * b_e - c_e) % self.p)[0]
+        if len(bad) == 0:
+            return None
+        i = int(bad[0])
+        return i, "/".join(self.constraints[i].trace)
 
     def full_assignment(self):
         return list(self.instance_assignment) + list(self.witness_assignment)

@@ -59,7 +59,7 @@ class _Group:
         self.spec = spec
         self._table = None
 
-    def msm(self, bases, scalars, c=None, L=None):
+    def msm(self, bases, scalars, c=None, L=None, cache_key=None):
         return dmsm.msm_pippenger(
             list(bases),
             [int(s) for s in scalars],
@@ -69,6 +69,7 @@ class _Group:
             L=L,
             pack_fn=self.pack_fn,
             unpack_fn=self.unpack_fn,
+            cache_key=(self.key, cache_key) if cache_key is not None else None,
         )
 
     def fixed_base_batch(self, scalars):

@@ -220,7 +220,8 @@ def generate_hash_helper(helper_pk, blocks, device: bool = False):
     message_bits = xof_input_message_bits(blocks)
     cs = ConstraintSystem(BLS_FR, "prove")
     HashToBits(message_bits).generate_constraints(cs)
-    bad = cs.which_is_unsatisfied()
+    evals = cs.evaluate_abc()
+    bad = cs.which_is_unsatisfied_from_evals(*evals)
     if bad is not None:
         raise SynthesisError(
             f"hash helper witness unsatisfied constraint: {bad}"
@@ -231,7 +232,7 @@ def generate_hash_helper(helper_pk, blocks, device: bool = False):
 
         accel = get_accel("bls12_377")
     proof = g16.create_proof_no_zk(
-        helper_pk, cs, g16.BLS12_377_ENGINE, accel=accel
+        helper_pk, cs, g16.BLS12_377_ENGINE, accel=accel, evals=evals
     )
     return HashToBitsHelper(vk=helper_pk.vk, proof=proof)
 
@@ -285,7 +286,8 @@ def prove(parameters: Parameters, num_validators: int, initial_epoch: EpochBlock
     with stage("prover.witness_synthesis"):
         circuit.generate_constraints(cs)
     with stage("prover.satisfaction_check"):
-        bad = cs.which_is_unsatisfied()
+        evals = cs.evaluate_abc()
+        bad = cs.which_is_unsatisfied_from_evals(*evals)
     if bad is not None:
         raise SynthesisError(
             f"witness generation produced unsatisfied constraint: {bad}"
@@ -296,7 +298,7 @@ def prove(parameters: Parameters, num_validators: int, initial_epoch: EpochBlock
 
         accel = get_accel("bw6_761")
     return g16.create_proof_no_zk(
-        parameters.epochs, cs, BW6_761_ENGINE, accel=accel
+        parameters.epochs, cs, BW6_761_ENGINE, accel=accel, evals=evals
     )
 
 

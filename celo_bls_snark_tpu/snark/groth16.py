@@ -146,11 +146,31 @@ class Proof:
     c: tuple  # G1 affine
 
 
+def _batch_inverse(vals, r):
+    """Montgomery batch inversion: one modular inverse + 3(n-1) mulmods."""
+    n = len(vals)
+    prefix = [0] * n
+    acc = 1
+    for i, v in enumerate(vals):
+        prefix[i] = acc
+        acc = acc * v % r
+    inv = pow(acc, -1, r)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = inv * prefix[i] % r
+        inv = inv * vals[i] % r
+    return out
+
+
 def _qap_evals_at_tau(cs, tau, engine):
     """Evaluate the QAP polynomials u_i, v_i, w_i at tau.
 
     Returns (u, v, w, t_at_tau, domain_size). Instance variables are pinned
-    into A at rows [nc, nc+ni) per the libsnark reduction."""
+    into A at rows [nc, nc+ni) per the libsnark reduction. Lagrange
+    denominators invert in one batch; the matrix accumulation runs over the
+    cached CSR export (r1cs.to_csr)."""
+    import numpy as np
+
     r = engine.fr
     nc = cs.num_constraints
     ni = cs.num_instance
@@ -161,29 +181,31 @@ def _qap_evals_at_tau(cs, tau, engine):
     # Lagrange coefficients at tau over the radix-2 domain:
     # L_j(tau) = (omega^j / d) * (tau^d - 1) / (tau - omega^j)
     t_at_tau = (pow(tau, d, r) - 1) % r
-    lag = []
+    pows = [0] * d
     wj = 1
-    dinv = pow(d, -1, r)
     for j in range(d):
-        denom = (tau - wj) % r
-        lag.append(t_at_tau * wj % r * dinv % r * pow(denom, -1, r) % r)
+        pows[j] = wj
         wj = wj * omega % r
+    denom_inv = _batch_inverse([(tau - w) % r for w in pows], r)
+    dinv = pow(d, -1, r)
+    scale = t_at_tau * dinv % r
+    lag = np.asarray(
+        [scale * w % r * di % r for w, di in zip(pows, denom_inv)],
+        dtype=object,
+    )
     nvars = ni + cs.num_witness
-    u = [0] * nvars
-    v = [0] * nvars
-    w = [0] * nvars
-    A, B, C = cs.to_matrices()
-    for j in range(nc):
-        lj = lag[j]
-        for coeff, col in A[j]:
-            u[col] = (u[col] + coeff * lj) % r
-        for coeff, col in B[j]:
-            v[col] = (v[col] + coeff * lj) % r
-        for coeff, col in C[j]:
-            w[col] = (w[col] + coeff * lj) % r
+    uvw = []
+    for mat in cs.to_csr():
+        indptr, cols, coeffs = mat
+        acc = np.zeros(nvars, dtype=object)
+        if len(cols):
+            rows = np.repeat(np.arange(nc, dtype=np.int64), np.diff(indptr))
+            np.add.at(acc, cols, coeffs * lag[rows])
+        uvw.append(acc % r)
+    u, v, w = uvw
     for i in range(ni):
         u[i] = (u[i] + lag[nc + i]) % r
-    return u, v, w, t_at_tau, d
+    return list(u), list(v), list(w), t_at_tau, d
 
 
 def generate_parameters(cs, engine, rng, accel=None):
@@ -280,9 +302,13 @@ def generate_parameters(cs, engine, rng, accel=None):
     return pk
 
 
-def _compute_h(cs, engine, accel=None):
+def _compute_h(cs, engine, accel=None, evals=None):
     """h(X) = (A(X) B(X) - C(X)) / t(X) coefficients, via coset FFTs
-    (on device when `accel` is given)."""
+    (on device when `accel` is given). `evals` takes the precomputed
+    (A@z, B@z, C@z) object arrays from cs.evaluate_abc() so the prover's
+    satisfaction check and QAP evaluation share one matrix pass."""
+    import numpy as np
+
     r = engine.fr
     nc = cs.num_constraints
     ni = cs.num_instance
@@ -290,17 +316,17 @@ def _compute_h(cs, engine, accel=None):
     while d < nc + ni:
         d <<= 1
     omega = _root_of_unity(engine, d)
-    z = cs.full_assignment()
-    A, B, C = cs.to_matrices()
-    a_evals = [0] * d
-    b_evals = [0] * d
-    c_evals = [0] * d
-    for j in range(nc):
-        a_evals[j] = sum(coeff * z[col] for coeff, col in A[j]) % r
-        b_evals[j] = sum(coeff * z[col] for coeff, col in B[j]) % r
-        c_evals[j] = sum(coeff * z[col] for coeff, col in C[j]) % r
-    for i in range(ni):
-        a_evals[nc + i] = z[i]
+    if evals is None:
+        evals = cs.evaluate_abc()
+    a_e, b_e, c_e = evals
+    a_evals = np.zeros(d, dtype=object)
+    b_evals = np.zeros(d, dtype=object)
+    c_evals = np.zeros(d, dtype=object)
+    a_evals[:nc] = a_e
+    b_evals[:nc] = b_e
+    c_evals[:nc] = c_e
+    a_evals[nc : nc + ni] = cs.instance_assignment
+    a_evals, b_evals, c_evals = list(a_evals), list(b_evals), list(c_evals)
     if accel is not None:
         return accel.compute_h_evals(
             a_evals, b_evals, c_evals, d, engine.fr_generator
@@ -327,11 +353,14 @@ def _compute_h(cs, engine, accel=None):
     return h_coeffs[: d - 1]
 
 
-def create_proof_no_zk(pk: ProvingKey, cs, engine, accel=None) -> Proof:
+def create_proof_no_zk(pk: ProvingKey, cs, engine, accel=None, evals=None) -> Proof:
     """Prover with r = s = 0 (the reference's create_proof_no_zk,
     crates/epoch-snark/src/api/prover.rs:78). With `accel`, the 4 MSMs and
     the h-polynomial coset NTTs run on device — the stage the reference
-    parallelizes with rayon inside ark-groth16 (SURVEY.md section 2.5)."""
+    parallelizes with rayon inside ark-groth16 (SURVEY.md section 2.5).
+    `evals` forwards precomputed cs.evaluate_abc() output (shared with the
+    caller's satisfaction check). The proving-key query bases are cached
+    device-resident across calls (keyed by pk identity)."""
     from ..utils.profiling import stage
 
     r = engine.fr
@@ -339,29 +368,35 @@ def create_proof_no_zk(pk: ProvingKey, cs, engine, accel=None) -> Proof:
     z = cs.full_assignment()
     ni = cs.num_instance
     with stage("prover.h_poly"):
-        h = _compute_h(cs, engine, accel)
+        h = _compute_h(cs, engine, accel, evals=evals)
 
     if accel is not None:
-        def msm_g1(bases, scalars):
-            return accel.g1.msm(bases, [s % r for s in scalars])
+        pkid = id(pk)
 
-        def msm_g2(bases, scalars):
-            return accel.g2.msm(bases, [s % r for s in scalars])
+        def msm_g1(bases, scalars, which):
+            return accel.g1.msm(
+                bases, [s % r for s in scalars], cache_key=(pkid, which)
+            )
+
+        def msm_g2(bases, scalars, which):
+            return accel.g2.msm(
+                bases, [s % r for s in scalars], cache_key=(pkid, which)
+            )
     else:
-        def msm_g1(bases, scalars):
+        def msm_g1(bases, scalars, which):
             return g1.msm([s % r for s in scalars], list(bases))
 
-        def msm_g2(bases, scalars):
+        def msm_g2(bases, scalars, which):
             return g2.msm([s % r for s in scalars], list(bases))
 
     with stage("prover.msm_a"):
-        a = g1.add(pk.vk.alpha_g1, msm_g1(pk.a_query, z))
+        a = g1.add(pk.vk.alpha_g1, msm_g1(pk.a_query, z, "a"))
     with stage("prover.msm_b_g2"):
-        b_g2 = g2.add(pk.vk.beta_g2, msm_g2(pk.b_g2_query, z))
+        b_g2 = g2.add(pk.vk.beta_g2, msm_g2(pk.b_g2_query, z, "b_g2"))
     with stage("prover.msm_l"):
-        c1 = msm_g1(pk.l_query, z[ni:])
+        c1 = msm_g1(pk.l_query, z[ni:], "l")
     with stage("prover.msm_h"):
-        c2 = msm_g1(pk.h_query, h)
+        c2 = msm_g1(pk.h_query, h, "h")
     c = g1.add(c1, c2)
     return Proof(a=a, b=b_g2, c=c)
 

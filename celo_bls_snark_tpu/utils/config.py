@@ -23,6 +23,7 @@ class Config:
     msm_lanes: Optional[int] = None       # Pippenger L (None = size heuristic)
     fixed_base_window: int = 8            # setup fixed-base table c
     msum_fold_lanes: int = 128            # tree-sum scan width
+    msm_cache_bases: bool = True          # keep prover MSM bases on device
 
     # --- parallelism -------------------------------------------------------
     mesh_axis: str = "data"               # name of the 1-D mesh axis
@@ -41,7 +42,7 @@ _CONFIG: Optional[Config] = None
 
 _INT_FIELDS = {"msm_window", "msm_lanes", "fixed_base_window",
                "msum_fold_lanes", "compat_sign_bit"}
-_BOOL_FIELDS = {"profile"}
+_BOOL_FIELDS = {"profile", "msm_cache_bases"}
 
 
 def _from_env(base: Config) -> Config:
