@@ -384,15 +384,44 @@ def pack_affine(spec, points):
 
 
 def unpack_jac(curve, spec, dev_pt):
-    """Device projective batch -> list of affine host points (None=infinity)."""
+    """Device projective batch -> list of affine host points (None=infinity).
+
+    Small batches run the device inversion (to_affine); large batches fetch
+    the raw projective coordinates and batch-invert Z on the HOST
+    (Montgomery trick: ONE modular inverse + 3 mulmods per point) — the
+    761-step device pow-inversion at full batch was the setup's dominant
+    cost (~100s per 500k-point proving-key query on one chip)."""
     import numpy as np
 
-    x, y = curve.to_affine(dev_pt)
-    zs = curve.F.is_zero(dev_pt[2])
-    xs = spec.unpack(x)
-    ys = spec.unpack(y)
-    infs = np.asarray(zs).reshape(-1)
-    return [None if i else (a, b) for a, b, i in zip(xs, ys, infs)]
+    B = jax.tree.leaves(dev_pt[0])[0].shape[-1]
+    if B <= 4096:
+        x, y = curve.to_affine(dev_pt)
+        zs = curve.F.is_zero(dev_pt[2])
+        xs = spec.unpack(x)
+        ys = spec.unpack(y)
+        infs = np.asarray(zs).reshape(-1)
+        return [None if i else (a, b) for a, b, i in zip(xs, ys, infs)]
+    X, Y, Z = dev_pt
+    xs = spec.unpack(np.asarray(X))
+    ys = spec.unpack(np.asarray(Y))
+    zs = spec.unpack(np.asarray(Z))
+    p = spec.modulus
+    # host Montgomery batch inversion over the non-zero Z lanes
+    prefix = [0] * len(zs)
+    acc = 1
+    for i, z in enumerate(zs):
+        prefix[i] = acc
+        if z:
+            acc = acc * z % p
+    inv = pow(acc, -1, p)
+    out = [None] * len(zs)
+    for i in range(len(zs) - 1, -1, -1):
+        z = zs[i]
+        if z:
+            zi = inv * prefix[i] % p
+            inv = inv * z % p
+            out[i] = (xs[i] * zi % p, ys[i] * zi % p)
+    return out
 
 
 def g1_pack(points):
@@ -438,14 +467,47 @@ def g2_pack(points):
 def g2_unpack(dev_pt):
     import numpy as np
 
-    x, y = g2.to_affine(dev_pt)
-    zs = tw.f2_is_zero(dev_pt[2])
-    x0 = FQ.unpack(x[0])
-    x1 = FQ.unpack(x[1])
-    y0 = FQ.unpack(y[0])
-    y1 = FQ.unpack(y[1])
-    infs = np.asarray(zs).reshape(-1)
-    return [
-        None if i else ((a0, a1), (b0, b1))
-        for a0, a1, b0, b1, i in zip(x0, x1, y0, y1, infs)
-    ]
+    B = jax.tree.leaves(dev_pt[0])[0].shape[-1]
+    if B <= 4096:
+        x, y = g2.to_affine(dev_pt)
+        zs = tw.f2_is_zero(dev_pt[2])
+        x0 = FQ.unpack(x[0])
+        x1 = FQ.unpack(x[1])
+        y0 = FQ.unpack(y[0])
+        y1 = FQ.unpack(y[1])
+        infs = np.asarray(zs).reshape(-1)
+        return [
+            None if i else ((a0, a1), (b0, b1))
+            for a0, a1, b0, b1, i in zip(x0, x1, y0, y1, infs)
+        ]
+    # large batches: fetch raw projective coords, HOST Fq2 batch inversion
+    # (one modular inverse total) — see unpack_jac.
+    from ..hostmath import fp2
+
+    X, Y, Z = dev_pt
+    x0 = FQ.unpack(np.asarray(X[0]))
+    x1 = FQ.unpack(np.asarray(X[1]))
+    y0 = FQ.unpack(np.asarray(Y[0]))
+    y1 = FQ.unpack(np.asarray(Y[1]))
+    z0 = FQ.unpack(np.asarray(Z[0]))
+    z1 = FQ.unpack(np.asarray(Z[1]))
+    n = len(z0)
+    prefix = [fp2.ONE] * n
+    acc = fp2.ONE
+    zs = list(zip(z0, z1))
+    for i, z in enumerate(zs):
+        prefix[i] = acc
+        if z != (0, 0):
+            acc = fp2.mul(acc, z)
+    inv = fp2.inv(acc)
+    out = [None] * n
+    for i in range(n - 1, -1, -1):
+        z = zs[i]
+        if z != (0, 0):
+            zi = fp2.mul(inv, prefix[i])
+            inv = fp2.mul(inv, z)
+            out[i] = (
+                fp2.mul((x0[i], x1[i]), zi),
+                fp2.mul((y0[i], y1[i]), zi),
+            )
+    return out

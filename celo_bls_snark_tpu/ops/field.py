@@ -421,10 +421,8 @@ def make_field_ops(spec: FieldSpec):
         return jnp.where(c[None], a, b)
 
     # --- multiply (erases lazy drift; output canonical < 2p) --------------
-    def mul_conv(a, b):
-        batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-        a = jnp.broadcast_to(a, (n, *batch))
-        b = jnp.broadcast_to(b, (n, *batch))
+    def _mul_conv_core(a, b):
+        batch = a.shape[1:]
         an = _normalize_lazy_scan(a, spec.offset_limbs)
         bn = _normalize_lazy_scan(b, spec.offset_limbs)
         T, extraT = _full_cols(an, bn, n, idx_np, 2 * n)
@@ -440,6 +438,30 @@ def make_field_ops(spec: FieldSpec):
         norm, _carry = _carry_normalize_u32(total)
         # (T + m*p)/R < 2p < 2^(16n): columns n..2n-1 hold the result
         return norm[n : 2 * n].astype(jnp.int32)
+
+    _CONV_CHUNK = 8192
+
+    def mul_conv(a, b):
+        batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        a = jnp.broadcast_to(a, (n, *batch))
+        b = jnp.broadcast_to(b, (n, *batch))
+        # the column-sum formulation materializes [n, n, B] intermediates;
+        # chunk wide 1-D batches through lax.map so the CPU path stays
+        # bounded (~n^2 * CHUNK words) at any width — an un-chunked
+        # 6*2^16-wide curve add under an 8-device shard_map was 80+ GB
+        B = int(np.prod(batch)) if batch else 1
+        if len(batch) == 1 and B > _CONV_CHUNK:
+            pad = (-B) % _CONV_CHUNK
+            if pad:
+                a = jnp.pad(a, ((0, 0), (0, pad)))
+                b = jnp.pad(b, ((0, 0), (0, pad)))
+            nch = (B + pad) // _CONV_CHUNK
+            a2 = jnp.moveaxis(a.reshape(n, nch, _CONV_CHUNK), 1, 0)
+            b2 = jnp.moveaxis(b.reshape(n, nch, _CONV_CHUNK), 1, 0)
+            out = jax.lax.map(lambda ab: _mul_conv_core(ab[0], ab[1]), (a2, b2))
+            out = jnp.moveaxis(out, 0, 1).reshape(n, nch * _CONV_CHUNK)
+            return out[:, :B] if pad else out
+        return _mul_conv_core(a, b)
 
     def mul(a, b):
         if _on_tpu():

@@ -1,0 +1,245 @@
+"""Batched try-and-increment hash-to-G1 fully on device.
+
+Completes the device hashing tail (round-2 VERDICT item 6): ops/blake2s.py
+already ran the Blake2s/Blake2Xs XOF on device, but square roots, point
+decompression and the cofactor multiply stayed host-Python, so batch
+verification WITH message hashing was host-bound. Here the whole CIP22
+try-and-increment (crates/bls-crypto/src/hash_to_curve/
+try_and_increment_cip22.rs:81-134, with the DirectHasher of direct.rs)
+runs as one vectorized device program:
+
+  1. one batched Blake2s CRH per message (device),
+  2. Blake2Xs XOF for the first C counters of EVERY message at once
+     (device; a counter succeeds with prob ~0.42, so C=16 leaves
+     ~2e-4 of messages to the host fallback path),
+  3. candidate parsing (377-bit x + compat/normal sign flags) as uint32
+     bit-slicing into field limbs,
+  4. validity = (x < p) AND (x^3 + 1 is a QR): one shared exponentiation
+     t^((s-1)/2) feeds both the Euler/Legendre test (45 more squarings)
+     and the Tonelli-Shanks start,
+  5. first-valid-counter selection per message (the try-and-increment
+     semantics), then the 46-round branch-free Tonelli-Shanks correction
+     on the surviving lanes only,
+  6. sign selection (lexicographically greatest root iff the flag bit is
+     set — hostmath/curves.py get_point_from_x parity) and the G1
+     cofactor multiply.
+
+Bit-exactness oracle: hash_to_curve/try_and_increment_cip22.py with the
+DirectHasher (tests/test_ops_hash_to_g1.py).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..hostmath.params import P, G1_COFACTOR
+from ..hostmath import curves as hcurves
+from .field import FQ, fq, LIMB_BITS, LIMB_MASK, int_to_limbs, _sub_limbs_u32
+from . import curve as dc
+from . import blake2s as db
+
+TWO_ADICITY = 46
+_S = (P - 1) >> TWO_ADICITY  # odd
+assert _S % 2 == 1
+
+
+def _nonresidue_z() -> int:
+    """z = g^s for a quadratic nonresidue g — the order-2^46 Tonelli-Shanks
+    constant."""
+    g = 2
+    while pow(g, (P - 1) // 2, P) == 1:
+        g += 1
+    return pow(g, _S, P)
+
+
+_Z = _nonresidue_z()
+_HALF_P_LIMBS = int_to_limbs((P - 1) // 2, FQ.n).astype(np.uint32)
+_P_LIMBS = FQ.p_limbs.astype(np.uint32)
+
+
+def _parse_candidates(xof_words, compat: bool):
+    """XOF state words [2, 8, B] uint32 (two 32-byte Blake2s blocks, LE)
+    -> (x_raw int32 limbs [n, B], greatest bool [B], infinity_flag [B],
+        x_lt_p [B], x_is_zero [B]).
+
+    Candidate layout parity: 48 LE bytes; x keeps bits [0, 377)
+    (REPR_SHAVE mask); sign bit 377 in compat mode (deployed Celo,
+    try_and_increment.rs:106-120) or flag bit 383; infinity flag bit 382
+    (hash_to_curve/common.py)."""
+    w = jnp.concatenate([xof_words[0], xof_words[1]], axis=0)  # [16, B] LE
+    w = w[:12]  # first 48 bytes
+    lo = (w & jnp.uint32(LIMB_MASK)).astype(jnp.uint32)
+    hi = (w >> jnp.uint32(LIMB_BITS)).astype(jnp.uint32)
+    limbs = jnp.stack(
+        [lo[i // 2] if i % 2 == 0 else hi[i // 2] for i in range(24)]
+    )  # [24, B] 16-bit limbs of the 384-bit candidate
+    # flags (before masking): bit 377 = limb 23 bit 9; 382 -> bit 14; 383 -> 15
+    sign_compat = (limbs[23] >> 9) & 1
+    sign_normal = (limbs[23] >> 15) & 1
+    infinity = ((limbs[23] >> 14) & 1) != 0
+    greatest = (sign_compat if compat else sign_normal) != 0
+    # REPR_SHAVE: keep 377 = 16*23 + 9 bits
+    limbs = limbs.at[23].set(limbs[23] & jnp.uint32(0x1FF))
+    # pad with the guard limb to FQ.n
+    pad = jnp.zeros((FQ.n - 24, limbs.shape[1]), dtype=jnp.uint32)
+    x_raw = jnp.concatenate([limbs, pad], axis=0)
+    # x < p via subtraction borrow
+    p_bc = jnp.broadcast_to(jnp.asarray(_P_LIMBS)[:, None], x_raw.shape)
+    _, borrow = _sub_limbs_u32(x_raw, p_bc)
+    x_lt_p = borrow != 0
+    x_is_zero = jnp.all(x_raw == 0, axis=0)
+    return x_raw.astype(jnp.int32), greatest, infinity, x_lt_p, x_is_zero
+
+
+def _sqrt_prep(t):
+    """Shared exponentiation for Legendre + Tonelli-Shanks:
+    w = t^((s-1)/2); tt0 = w^2 * t  (= t^s); legendre = tt0^(2^45) == 1.
+    Returns (w, tt0, is_qr)."""
+    w = fq.pow_const(t, (_S - 1) // 2)
+    wt = fq.mul(w, t)
+    tt0 = fq.mul(wt, w)
+    e = jax.lax.fori_loop(0, TWO_ADICITY - 1, lambda _, x: fq.sq(x), tt0)
+    one = FQ.ones(tuple(t.shape[1:]))
+    is_qr = fq.eq(e, one)
+    return w, tt0, is_qr
+
+
+def _tonelli_shanks_finish(t, w):
+    """Branch-free Tonelli-Shanks from the shared prefix: returns r with
+    r^2 == t (for QR t; garbage otherwise)."""
+    batch = tuple(t.shape[1:])
+    r = fq.mul(w, t)        # t^((s+1)/2)
+    tt = fq.mul(r, w)       # t^s
+    c = jnp.broadcast_to(FQ.const(_Z, (1,)), (FQ.n, *batch))
+    one = FQ.ones(batch)
+    M = TWO_ADICITY
+
+    def outer(k, state):
+        # i = M-2-k squarings expose bit i of the 2-Sylow discrete log
+        r, tt, c = state
+        i = M - 2 - k
+        b = jax.lax.fori_loop(0, i, lambda _, x: fq.sq(x), tt)
+        flip = ~fq.eq(b, one)
+        c2 = fq.sq(c)
+        r = fq.select(flip, fq.mul(r, c), r)
+        tt = fq.select(flip, fq.mul(tt, c2), tt)
+        return (r, tt, c2)
+
+    r, tt, c = jax.lax.fori_loop(0, M - 1, outer, (r, tt, c))
+    return r
+
+
+def _select_greatest(y, greatest):
+    """Pick y or p-y so the result is the lexicographically greatest root
+    iff `greatest` (get_point_from_x parity). The comparison is on the
+    FIELD value, so the Montgomery form is stripped first (to_raw)."""
+    y_can = fq.to_raw(y).astype(jnp.uint32)
+    half = jnp.broadcast_to(jnp.asarray(_HALF_P_LIMBS)[:, None], y_can.shape)
+    # y > (p-1)/2  <=>  y - ((p-1)/2 + 1) has no borrow <=> (p-1)/2 - y borrows
+    _, borrow = _sub_limbs_u32(half, y_can)
+    y_is_big = borrow != 0
+    want_flip = y_is_big != greatest
+    return fq.select(want_flip, fq.neg(y), y)
+
+
+def _candidate_points(xof_words, compat: bool):
+    """Per (message, counter) lane: decompressed pre-cofactor point + valid
+    mask. Returns (x_mont, y_mont, valid, w, t) — y needs the
+    Tonelli-Shanks finish; this stage only computes validity."""
+    x_raw, greatest, infinity, x_lt_p, x_is_zero = _parse_candidates(
+        xof_words, compat
+    )
+    x = fq.from_raw(x_raw)
+    t = fq.add(fq.mul(fq.sq(x), x), FQ.ones(tuple(x.shape[1:])))  # x^3 + 1
+    w, tt0, is_qr = _sqrt_prep(t)
+    valid = x_lt_p & is_qr & ~(x_is_zero & infinity)
+    return x, greatest, valid, w, t
+
+
+def hash_to_g1_device(domain: bytes, messages, extra_data: bytes = b"",
+                      compat: bool = True, num_counters: int = 16):
+    """Device try-and-increment core: returns (jac_points, has_mask) with
+    the hashed points as a DEVICE projective batch and a numpy bool mask of
+    messages whose first valid counter fell inside [0, num_counters).
+    Lanes with has=False hold garbage — route them to the host fallback
+    (hash_to_g1_direct_cip22_batch does)."""
+    from ..hash_to_curve.common import hash_length, G1_BYTES
+
+    B = len(messages)
+    C = num_counters
+    hash_bytes = hash_length(G1_BYTES)  # 64
+
+    # 1) device CRH per message
+    words = db.pack_messages(messages)
+    crh_state = jax.jit(
+        lambda wds: db.blake2s_batch(
+            wds, len(messages[0]), digest_size=32,
+            node_offset=db._xof_node_offset(hash_bytes), person=domain,
+        )
+    )(words)  # [8, B]
+    crh_np = np.asarray(crh_state)
+
+    # 2) XOF inputs: counter || extra_data || crh(32B), per (msg, counter)
+    crh_bytes = [crh_np[:, i].astype("<u4").tobytes() for i in range(B)]
+    xof_msgs = [
+        bytes([c]) + extra_data + crh_bytes[i]
+        for c in range(C)
+        for i in range(B)
+    ]
+    xof_words = db.pack_messages(xof_msgs)  # [(16*nblk), B*C]
+    msg_len = len(xof_msgs[0])
+
+    @jax.jit
+    def stage_a(wds):
+        xof = db.blake2xs_batch(wds, msg_len, hash_bytes, person=domain)
+        x, greatest, valid, w, t = _candidate_points(xof, compat)
+        return x, greatest, valid, w, t
+
+    x, greatest, valid, w, t = stage_a(xof_words)
+
+    # 3) first valid counter per message
+    valid_np = np.asarray(valid).reshape(C, B)
+    has = valid_np.any(axis=0)
+    first = np.argmax(valid_np, axis=0)  # first True (0 if none; masked by has)
+    sel = (first * B + np.arange(B)).astype(np.int32)
+
+    @jax.jit
+    def stage_b(x, greatest, w, t, sel):
+        xs = jnp.take(x, sel, axis=-1)
+        ws = jnp.take(w, sel, axis=-1)
+        ts = jnp.take(t, sel, axis=-1)
+        gs = jnp.take(greatest, sel, axis=-1)
+        y = _tonelli_shanks_finish(ts, ws)
+        y = _select_greatest(y, gs)
+        # 4) cofactor multiply (projective scalar mul by the fixed cofactor)
+        pt = dc.g1.from_affine((xs, y))
+        return dc.g1.scalar_mul_const(G1_COFACTOR, pt)
+
+    return stage_b(x, greatest, w, t, jnp.asarray(sel)), has
+
+
+def hash_to_g1_direct_cip22_batch(domain: bytes, messages, extra_data: bytes = b"",
+                                  compat: bool = True, num_counters: int = 16):
+    """Batched CIP22 try-and-increment over the DirectHasher, end-to-end on
+    device. messages: equal-length byte strings. Returns a list of host
+    affine G1 points (the rare no-counter-found lanes fall back to the host
+    path — same semantics, prob ~0.58^num_counters per message).
+
+    Reference semantics: TryAndIncrementCIP22(DirectHasher).hash
+    (try_and_increment_cip22.rs:81-134, direct.rs:23-79)."""
+    from ..hash_to_curve.try_and_increment_cip22 import TryAndIncrementCIP22
+    from ..hashers.direct import DirectHasher
+
+    out_jac, has = hash_to_g1_device(
+        domain, messages, extra_data, compat, num_counters
+    )
+    pts = dc.unpack_jac(dc.g1, FQ, out_jac)
+
+    # host fallback for messages with no valid counter in [0, C)
+    if not has.all():
+        h2c = TryAndIncrementCIP22(DirectHasher(), "g1", compat)
+        for i in np.nonzero(~has)[0]:
+            pts[i], _ = h2c.hash_with_attempt_cip22(
+                domain, messages[i], extra_data
+            )
+    return pts

@@ -240,20 +240,26 @@ def msm_pippenger(points, scalars, curve=None, spec=None, nbits=None,
     B0 = len(points)
     c = c or cfg.msm_window or _auto_c(B0, nbits)
     if L is None:
-        L = cfg.msm_lanes or (
-            1 << max(3, min(12, (B0.bit_length() - 1) // 2 + 3))
-        )
-    perm, lin, lane, valid, B = plan_msm(list(scalars), nbits, c, L)
+        # target ~16-32 scan steps (K = B/L): wide lanes keep the bucket
+        # accumulation VPU-bound instead of loop-overhead-bound
+        L = cfg.msm_lanes or (1 << max(3, min(15, B0.bit_length() - 5)))
+    from ..utils.profiling import stage
+
+    with stage("msm.plan"):
+        perm, lin, lane, valid, B = plan_msm(list(scalars), nbits, c, L)
     full_key = (cache_key, B0, B) if cache_key is not None else None
     pts_aff = _BASE_PACK_CACHE.get(full_key) if full_key else None
     if pts_aff is None:
-        pts = list(points) + [None] * (B - B0)
-        pts_aff = pack_fn(pts) if pack_fn else dc.pack_affine(spec, pts)
+        with stage("msm.pack_bases"):
+            pts = list(points) + [None] * (B - B0)
+            pts_aff = pack_fn(pts) if pack_fn else dc.pack_affine(spec, pts)
         if full_key is not None and cfg.msm_cache_bases:
             pts_aff = jax.tree.map(jnp.asarray, pts_aff)
             _BASE_PACK_CACHE[full_key] = pts_aff
     fn = _pippenger_jit(id(curve), curve, c, L)
-    out = fn(pts_aff, perm, lin, lane, valid)
+    with stage("msm.device"):
+        out = fn(pts_aff, perm, lin, lane, valid)
+        jax.block_until_ready(out)
     if unpack_fn is not None:
         return unpack_fn(out)[0]
     return dc.unpack_jac(curve, spec, out)[0]

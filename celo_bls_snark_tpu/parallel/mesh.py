@@ -120,7 +120,8 @@ def _sharded_msum(mesh, pts_jac, curve, tag, axis):
 
 
 def sharded_msm_pippenger(mesh, points, scalars, axis="data", c=None, L=None,
-                          curve=None, spec=None, nbits=None):
+                          curve=None, spec=None, nbits=None,
+                          pack_fn=None, unpack_fn=None, cache_key=None):
     """Mesh-sharded Pippenger MSM (host points/scalars -> host point).
 
     The MSM is additive, so the points are partitioned across chips, each
@@ -132,6 +133,7 @@ def sharded_msm_pippenger(mesh, points, scalars, axis="data", c=None, L=None,
     """
     from ..ops import msm as dmsm
     from ..ops.field import FQ
+    from ..utils.config import get_config
 
     curve = curve or dc.g1
     spec = spec or FQ
@@ -141,7 +143,7 @@ def sharded_msm_pippenger(mesh, points, scalars, axis="data", c=None, L=None,
     Bc0 = -(-B0 // D)  # points per chip before padding
     c = c or dmsm._auto_c(Bc0, nbits)
     if L is None:
-        L = 1 << max(2, min(12, (Bc0.bit_length() - 1) // 2 + 3))
+        L = 1 << max(2, min(15, Bc0.bit_length() - 5))
 
     perms, lins, lanes, valids = [], [], [], []
     pts_chunks = []
@@ -159,7 +161,20 @@ def sharded_msm_pippenger(mesh, points, scalars, axis="data", c=None, L=None,
         valids.append(valid)
         pts_chunks.append(pc)
 
-    pts_aff = dc.pack_affine(spec, sum(pts_chunks, []))  # [n, D*Bc]
+    full_key = (
+        (cache_key, mesh.devices.size, B0, Bc)
+        if cache_key is not None
+        else None
+    )
+    pts_aff = dmsm._BASE_PACK_CACHE.get(full_key) if full_key else None
+    if pts_aff is None:
+        allpts = sum(pts_chunks, [])
+        pts_aff = (
+            pack_fn(allpts) if pack_fn else dc.pack_affine(spec, allpts)
+        )  # [n, D*Bc]
+        if full_key is not None and get_config().msm_cache_bases:
+            pts_aff = jax.tree.map(jnp.asarray, pts_aff)
+            dmsm._BASE_PACK_CACHE[full_key] = pts_aff
     plan = (
         np.stack(perms),  # [D, W, Bc]
         np.stack(lins),
@@ -187,6 +202,8 @@ def sharded_msm_pippenger(mesh, points, scalars, axis="data", c=None, L=None,
 
     fn = _jit_shard(("msm_pippenger", mesh, axis, id(curve), c, L), build)
     out = fn(pts_aff, *[jnp.asarray(x) for x in plan])
+    if unpack_fn is not None:
+        return unpack_fn(out)[0]
     return dc.unpack_jac(curve, spec, out)[0]
 
 
@@ -270,6 +287,64 @@ def sharded_ntt(mesh, coeffs, nttops=None, inverse=False, N1=None, axis="data"):
     out = fn(coeffs.reshape(n, N1, N2), tw)
     # out[:, k2, k1] = X[k2*N1 + k1] — flattening (k2, k1) IS natural order
     return out.reshape(n, N)
+
+
+_PW_JIT = {}
+
+
+def _pointwise_jit(key, fn):
+    if key not in _PW_JIT:
+        _PW_JIT[key] = jax.jit(fn)
+    return _PW_JIT[key]
+
+
+def sharded_compute_h(mesh, nttops, a_raw, b_raw, c_raw, d: int, g: int,
+                      axis="data"):
+    """Mesh-sharded Groth16 h-polynomial pipeline: the coset-NTT stage of
+    the prover (snark/accel.py compute_h_evals) with every length-d
+    transform running as a four-step sharded NTT (one all_to_all each) and
+    the pointwise combines as data-parallel kernels — the reference's
+    rayon-parallel domain FFT (SURVEY.md §2.5 row 4) across the mesh.
+
+    a_raw/b_raw/c_raw: RAW (non-Montgomery) [n, d] limb arrays of the
+    domain evaluations. Returns the RAW h coefficient limbs [n, d]
+    (truncate to d-1 on the host side)."""
+    f = nttops.f
+    r = nttops.r
+    sharding = NamedSharding(mesh, P(None, axis))
+
+    def put(x):
+        return jax.device_put(jnp.asarray(x), sharding)
+
+    conv_in = _pointwise_jit(("from_raw", r), lambda x: nttops.f.from_raw(x))
+    a = conv_in(put(a_raw))
+    b = conv_in(put(b_raw))
+    c = conv_in(put(c_raw))
+
+    sc_g = put(nttops.coset_scale(d, g))
+    sc_ginv = put(nttops.coset_scale(d, pow(g, -1, r)))
+    mulp = _pointwise_jit(("mul", r), lambda x, y: f.mul(x, y))
+    t_c_inv = (pow(g, d, r) - 1) % r
+    t_c_inv = pow(t_c_inv, -1, r)
+    tinv = put(
+        np.broadcast_to(
+            np.asarray(nttops.spec.pack([t_c_inv])), (a_raw.shape[0], d)
+        ).copy()
+    )
+    combine = _pointwise_jit(
+        ("h_combine", r), lambda ae, be, ce, ti: f.mul(f.sub(f.mul(ae, be), ce), ti)
+    )
+
+    def coset_fwd(x):
+        return sharded_ntt(mesh, mulp(x, sc_g), nttops, axis=axis)
+
+    ae = coset_fwd(sharded_ntt(mesh, a, nttops, inverse=True, axis=axis))
+    be = coset_fwd(sharded_ntt(mesh, b, nttops, inverse=True, axis=axis))
+    ce = coset_fwd(sharded_ntt(mesh, c, nttops, inverse=True, axis=axis))
+    hc = combine(ae, be, ce, tinv)
+    h = mulp(sharded_ntt(mesh, hc, nttops, inverse=True, axis=axis), sc_ginv)
+    conv_out = _pointwise_jit(("to_raw", r), lambda x: nttops.f.to_raw(x))
+    return np.asarray(conv_out(h))
 
 
 def sharded_msm_g1(mesh, bits, pts_jac, axis="data"):

@@ -48,7 +48,7 @@ class _Group:
     """One group's device plumbing: curve ops + pack/unpack + fixed-base."""
 
     def __init__(self, key, curve, host_curve, generator, nbits,
-                 pack_fn, unpack_fn, spec=None):
+                 pack_fn, unpack_fn, spec=None, owner=None):
         self.key = key
         self.curve = curve
         self.host_curve = host_curve
@@ -57,9 +57,27 @@ class _Group:
         self.pack_fn = pack_fn
         self.unpack_fn = unpack_fn
         self.spec = spec
+        self.owner = owner  # DeviceAccel (for the configured mesh)
         self._table = None
 
     def msm(self, bases, scalars, c=None, L=None, cache_key=None):
+        mesh = self.owner.mesh if self.owner is not None else None
+        key = (self.key, cache_key) if cache_key is not None else None
+        if mesh is not None and mesh.devices.size > 1 and len(bases) >= 4 * mesh.devices.size:
+            from ..parallel import mesh as pmesh
+
+            return pmesh.sharded_msm_pippenger(
+                mesh,
+                list(bases),
+                [int(s) for s in scalars],
+                c=c,
+                L=L,
+                curve=self.curve,
+                nbits=self.nbits,
+                pack_fn=self.pack_fn,
+                unpack_fn=self.unpack_fn,
+                cache_key=key,
+            )
         return dmsm.msm_pippenger(
             list(bases),
             [int(s) for s in scalars],
@@ -69,27 +87,36 @@ class _Group:
             L=L,
             pack_fn=self.pack_fn,
             unpack_fn=self.unpack_fn,
-            cache_key=(self.key, cache_key) if cache_key is not None else None,
+            cache_key=key,
         )
 
     def fixed_base_batch(self, scalars):
         """[k_i] -> [k_i * generator] (host affine points, None=inf)."""
+        from ..utils.profiling import stage
+
         c = _fixed_c()
         if self._table is None:
-            tbl = dmsm.fixed_base_table(
-                self.host_curve, self.generator, self.nbits, c
-            )
-            self._table = jax.tree.map(jnp.asarray, self.pack_fn(tbl))
+            with stage(f"fixed_base.table.{self.key}"):
+                tbl = dmsm.fixed_base_table(
+                    self.host_curve, self.generator, self.nbits, c
+                )
+                self._table = jax.tree.map(jnp.asarray, self.pack_fn(tbl))
         digits = dmsm.fixed_base_plan(
             [int(s) for s in scalars], self.nbits, c
         )
-        out = dmsm.fixed_base_batch_mul(self.curve, self.key, self._table, digits)
-        return self.unpack_fn(out)
+        with stage(f"fixed_base.device.{self.key}"):
+            out = dmsm.fixed_base_batch_mul(
+                self.curve, self.key, self._table, digits
+            )
+            jax.block_until_ready(out)
+        with stage(f"fixed_base.unpack.{self.key}"):
+            return self.unpack_fn(out)
 
 
 class DeviceAccel:
     def __init__(self, engine_name: str):
         self.name = engine_name
+        self.mesh = None  # set_mesh() routes MSM/NTT through parallel/mesh.py
         if engine_name == "bls12_377":
             self.r = BLS_R
             self.fspec, self.fops, self.nttops = FR, fr, dntt.ntt_fr
@@ -97,11 +124,11 @@ class DeviceAccel:
                 "bls-g1", dc.g1, hcurves.G1, None, 253,
                 lambda pts: dc.pack_affine(FQ, pts),
                 lambda dev: dc.unpack_jac(dc.g1, FQ, dev),
-                spec=FQ,
+                spec=FQ, owner=self,
             )
             self.g2 = _Group(
                 "bls-g2", dc.g2, hcurves.G2, None, 253,
-                _pack_affine_f2, _unpack_jac_f2,
+                _pack_affine_f2, _unpack_jac_f2, owner=self,
             )
             from ..hostmath.params import G1_GENERATOR, G2_GENERATOR
 
@@ -114,17 +141,24 @@ class DeviceAccel:
                 "bw6-g1", dc.bw6_g1, hbw6.G1, hbw6.G1_GENERATOR, 377,
                 lambda pts: dc.pack_affine(FQ761, pts),
                 lambda dev: dc.unpack_jac(dc.bw6_g1, FQ761, dev),
-                spec=FQ761,
+                spec=FQ761, owner=self,
             )
             self.g2 = _Group(
                 "bw6-g2", dc.bw6_g2, hbw6.G2, hbw6.G2_GENERATOR, 377,
                 lambda pts: dc.pack_affine(FQ761, pts),
                 lambda dev: dc.unpack_jac(dc.bw6_g2, FQ761, dev),
-                spec=FQ761,
+                spec=FQ761, owner=self,
             )
         else:
             raise ValueError(engine_name)
         self._h_jit = {}
+
+    def set_mesh(self, mesh):
+        """Route the prover's MSM and h-poly NTT stages through the
+        mesh-sharded kernels (parallel/mesh.py) when `mesh` spans more than
+        one device — the multi-chip form of arkworks' rayon MSM/FFT
+        parallelism (SURVEY.md §2.5 row 4). Pass None to go single-chip."""
+        self.mesh = mesh
 
     # --- Groth16 prover stage: h = (AB - C)/t on the coset ----------------
     def compute_h_evals(self, a_evals, b_evals, c_evals, d: int, g: int):
@@ -138,6 +172,24 @@ class DeviceAccel:
         request is rejected (HTTP 413)."""
         r = self.r
         spec, f = self.fspec, self.fops
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from ..parallel import mesh as pmesh
+            from ..utils.profiling import stage
+
+            D = self.mesh.devices.size
+            if d % (D * D) == 0:  # four-step N1/N2 divisibility
+                with stage("h_poly.pack"):
+                    raws = (
+                        np.asarray(spec.pack_raw(a_evals)),
+                        np.asarray(spec.pack_raw(b_evals)),
+                        np.asarray(spec.pack_raw(c_evals)),
+                    )
+                with stage("h_poly.sharded"):
+                    h_raw = pmesh.sharded_compute_h(
+                        self.mesh, self.nttops, *raws, d, g
+                    )
+                with stage("h_poly.unpack"):
+                    return spec.unpack_raw(h_raw)[: d - 1]
         t_c_inv = pow((pow(g, d, r) - 1) % r, -1, r)
         nttops = self.nttops
         if d not in self._h_jit:
@@ -160,19 +212,26 @@ class DeviceAccel:
                 return f.to_raw(h)
 
             self._h_jit[d] = pipeline
-        tables = (
-            nttops.master_table(d, False),
-            nttops.master_table(d, True),
-            nttops.coset_scale(d, g),
-            nttops.coset_scale(d, pow(g, -1, r)),
-        )
-        out = self._h_jit[d](
-            jnp.asarray(self.fspec.pack_raw(a_evals)),
-            jnp.asarray(self.fspec.pack_raw(b_evals)),
-            jnp.asarray(self.fspec.pack_raw(c_evals)),
-            *tables,
-        )
-        return self.fspec.unpack_raw(np.asarray(out))[: d - 1]
+        from ..utils.profiling import stage
+
+        with stage("h_poly.tables"):
+            tables = (
+                nttops.master_table(d, False),
+                nttops.master_table(d, True),
+                nttops.coset_scale(d, g),
+                nttops.coset_scale(d, pow(g, -1, r)),
+            )
+        with stage("h_poly.pack"):
+            args = (
+                jnp.asarray(self.fspec.pack_raw(a_evals)),
+                jnp.asarray(self.fspec.pack_raw(b_evals)),
+                jnp.asarray(self.fspec.pack_raw(c_evals)),
+            )
+        with stage("h_poly.device"):
+            out = self._h_jit[d](*args, *tables)
+            jax.block_until_ready(out)
+        with stage("h_poly.unpack"):
+            return self.fspec.unpack_raw(np.asarray(out))[: d - 1]
 
 
 _ACCEL_CACHE = {}

@@ -222,8 +222,11 @@ def generate_parameters(cs, engine, rng, accel=None):
             if 0 < v < r:
                 return v
 
+    from ..utils.profiling import stage
+
     alpha, beta, gamma, delta, tau = (fr_rand() for _ in range(5))
-    u, v, w, t_at_tau, d = _qap_evals_at_tau(cs, tau, engine)
+    with stage("setup.qap_evals_at_tau"):
+        u, v, w, t_at_tau, d = _qap_evals_at_tau(cs, tau, engine)
     ni = cs.num_instance
     g1, g2 = engine.g1, engine.g2
     G1g, G2g = engine.g1_gen, engine.g2_gen
@@ -249,22 +252,34 @@ def generate_parameters(cs, engine, rng, accel=None):
         for _ in range(d - 1):
             taus.append(acc)
             acc = acc * tau % r
+        with stage("setup.fb_gamma_abc"):
+            gamma_abc = g1batch([abc[i] * ginv for i in range(ni)])
         vk = VerifyingKey(
             alpha_g1=alpha_g1,
             beta_g2=beta_g2,
             gamma_g2=gamma_g2,
             delta_g2=delta_g2,
-            gamma_abc_g1=g1batch([abc[i] * ginv for i in range(ni)]),
+            gamma_abc_g1=gamma_abc,
         )
+        with stage("setup.fb_a_query"):
+            a_query = g1batch(u)
+        with stage("setup.fb_b_g1_query"):
+            b_g1_query = g1batch(v)
+        with stage("setup.fb_b_g2_query"):
+            b_g2_query = g2batch(v)
+        with stage("setup.fb_h_query"):
+            h_query = g1batch(taus)
+        with stage("setup.fb_l_query"):
+            l_query = g1batch([abc[i] * dinv for i in range(ni, nvars)])
         return ProvingKey(
             vk=vk,
             beta_g1=beta_g1,
             delta_g1=delta_g1,
-            a_query=g1batch(u),
-            b_g1_query=g1batch(v),
-            b_g2_query=g2batch(v),
-            h_query=g1batch(taus),
-            l_query=g1batch([abc[i] * dinv for i in range(ni, nvars)]),
+            a_query=a_query,
+            b_g1_query=b_g1_query,
+            b_g2_query=b_g2_query,
+            h_query=h_query,
+            l_query=l_query,
         )
 
     # fixed-base window tables: the setup is thousands of generator multiples

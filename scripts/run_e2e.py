@@ -89,6 +89,13 @@ def main():
     t5 = time.perf_counter()
     print(f"verify: {t5-t4:.2f}s ok={ok} tamper-rejected={not bad}")
     assert ok and not bad
+
+    from celo_bls_snark_tpu.utils.profiling import report
+
+    print("--- stage breakdown ---")
+    for name, ent in sorted(report().items()):
+        if "total_s" in ent:
+            print(f"{name:32s} {ent['total_s']:9.2f}s  x{ent['calls']}")
     print("E2E PASS")
 
 
