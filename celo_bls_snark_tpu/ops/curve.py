@@ -383,6 +383,9 @@ def pack_affine(spec, points):
     return (spec.pack(xs), spec.pack(ys))
 
 
+_TO_AFFINE_JIT = {}
+
+
 def unpack_jac(curve, spec, dev_pt):
     """Device projective batch -> list of affine host points (None=infinity).
 
@@ -395,8 +398,15 @@ def unpack_jac(curve, spec, dev_pt):
 
     B = jax.tree.leaves(dev_pt[0])[0].shape[-1]
     if B <= 4096:
-        x, y = curve.to_affine(dev_pt)
-        zs = curve.F.is_zero(dev_pt[2])
+        # one jit per curve: eager per-op dispatch of the 761-step
+        # inversion through the axon tunnel costs ~20s even at batch 1
+        key = id(curve)
+        fn = _TO_AFFINE_JIT.get(key)
+        if fn is None:
+            fn = _TO_AFFINE_JIT[key] = jax.jit(
+                lambda pt: (*curve.to_affine(pt), curve.F.is_zero(pt[2]))
+            )
+        x, y, zs = fn(dev_pt)
         xs = spec.unpack(x)
         ys = spec.unpack(y)
         infs = np.asarray(zs).reshape(-1)
@@ -431,14 +441,7 @@ def g1_pack(points):
 
 def g1_unpack(dev_pt):
     """Device projective batch -> list of affine host points (None=infinity)."""
-    import numpy as np
-
-    x, y = g1.to_affine(dev_pt)
-    zs = fq.is_zero(dev_pt[2])
-    xs = FQ.unpack(x)
-    ys = FQ.unpack(y)
-    infs = np.asarray(zs).reshape(-1)
-    return [None if i else (a, b) for a, b, i in zip(xs, ys, infs)]
+    return unpack_jac(g1, FQ, dev_pt)
 
 
 def g2_pack(points):
@@ -469,8 +472,13 @@ def g2_unpack(dev_pt):
 
     B = jax.tree.leaves(dev_pt[0])[0].shape[-1]
     if B <= 4096:
-        x, y = g2.to_affine(dev_pt)
-        zs = tw.f2_is_zero(dev_pt[2])
+        key = "g2"
+        fn = _TO_AFFINE_JIT.get(key)
+        if fn is None:
+            fn = _TO_AFFINE_JIT[key] = jax.jit(
+                lambda pt: (*g2.to_affine(pt), tw.f2_is_zero(pt[2]))
+            )
+        x, y, zs = fn(dev_pt)
         x0 = FQ.unpack(x[0])
         x1 = FQ.unpack(x[1])
         y0 = FQ.unpack(y[0])

@@ -192,35 +192,36 @@ class DeviceAccel:
                     return spec.unpack_raw(h_raw)[: d - 1]
         t_c_inv = pow((pow(g, d, r) - 1) % r, -1, r)
         nttops = self.nttops
-        if d not in self._h_jit:
-            tinv_c = spec.const(t_c_inv, (1,))
-
-            @jax.jit
-            def pipeline(a_raw, b_raw, c_raw, m_fwd, m_inv, sc_g, sc_ginv):
-                a = f.from_raw(a_raw)
-                b = f.from_raw(b_raw)
-                c = f.from_raw(c_raw)
-                ac = nttops.ntt(a, inverse=True, master=m_inv)
-                bc = nttops.ntt(b, inverse=True, master=m_inv)
-                cc = nttops.ntt(c, inverse=True, master=m_inv)
-                ae = nttops.coset_ntt(ac, g, master=m_fwd, scale=sc_g)
-                be = nttops.coset_ntt(bc, g, master=m_fwd, scale=sc_g)
-                ce = nttops.coset_ntt(cc, g, master=m_fwd, scale=sc_g)
-                hc_ = f.sub(f.mul(ae, be), ce)
-                hc_ = f.mul(hc_, jnp.broadcast_to(tinv_c, hc_.shape))
-                h = nttops.coset_intt(hc_, g, master=m_inv, scale=sc_ginv)
-                return f.to_raw(h)
-
-            self._h_jit[d] = pipeline
+        # SPLIT jits (one 20-stage NTT graph each + trivial pointwise ops)
+        # instead of one fused 140-stage pipeline: the monolith's XLA
+        # compile ran ~5 minutes on the axon remote-compile service every
+        # fresh process (its persistent-cache entry rarely hit), while the
+        # split graphs compile fast and cost only ~15 extra dispatches.
+        if "split" not in self._h_jit:
+            self._h_jit["split"] = {
+                "from_raw": jax.jit(f.from_raw),
+                "to_raw": jax.jit(f.to_raw),
+                "mul": jax.jit(f.mul),
+                "ntt_f": jax.jit(lambda x, m: nttops.ntt(x, master=m)),
+                "ntt_i": jax.jit(
+                    lambda x, m: nttops.ntt(x, inverse=True, master=m)
+                ),
+                "combine": jax.jit(
+                    lambda ae, be, ce, ti: f.mul(
+                        f.sub(f.mul(ae, be), ce),
+                        jnp.broadcast_to(ti, ae.shape),
+                    )
+                ),
+            }
+        J = self._h_jit["split"]
         from ..utils.profiling import stage
 
         with stage("h_poly.tables"):
-            tables = (
-                nttops.master_table(d, False),
-                nttops.master_table(d, True),
-                nttops.coset_scale(d, g),
-                nttops.coset_scale(d, pow(g, -1, r)),
-            )
+            m_fwd = nttops.master_table(d, False)
+            m_inv = nttops.master_table(d, True)
+            sc_g = nttops.coset_scale(d, g)
+            sc_ginv = nttops.coset_scale(d, pow(g, -1, r))
+            tinv_c = spec.const(t_c_inv, (1,))
         with stage("h_poly.pack"):
             args = (
                 jnp.asarray(self.fspec.pack_raw(a_evals)),
@@ -228,7 +229,13 @@ class DeviceAccel:
                 jnp.asarray(self.fspec.pack_raw(c_evals)),
             )
         with stage("h_poly.device"):
-            out = self._h_jit[d](*args, *tables)
+            evs = []
+            for raw in args:
+                coeffs = J["ntt_i"](J["from_raw"](raw), m_inv)
+                evs.append(J["ntt_f"](J["mul"](coeffs, sc_g), m_fwd))
+            hc_ = J["combine"](*evs, tinv_c)
+            h = J["mul"](J["ntt_i"](hc_, m_inv), sc_ginv)
+            out = J["to_raw"](h)
             jax.block_until_ready(out)
         with stage("h_poly.unpack"):
             return self.fspec.unpack_raw(np.asarray(out))[: d - 1]

@@ -100,7 +100,7 @@ def bench_msm(lg, reps=3, bw6=False):
           flush=True)
 
     c = 16
-    L = 1 << max(3, min(12, (B.bit_length() - 1) // 2 + 3))
+    L = 1 << max(3, min(15, B.bit_length() - 5))  # ops/msm.py heuristic
     fn = dmsm._pippenger_jit(id(curve), curve, c, L)
 
     # warm (compile) + correctness

@@ -76,13 +76,19 @@ def main():
     )
     print(f"fixtures: {time.perf_counter()-t2:.1f}s")
 
-    t3 = time.perf_counter()
-    proof = prove(
-        params, num_validators, first_epoch, transitions,
-        max_transitions=num_transitions, device=True,
-    )
-    t4 = time.perf_counter()
-    print(f"prove: {t4-t3:.1f}s")
+    # prove twice: the first call pays the per-process XLA compiles (the
+    # axon persistent cache does not round-trip TPU executables), the
+    # second is the warm steady-state a proving service runs at
+    repeats = int(os.environ.get("E2E_PROVE_REPEAT", "2"))
+    for it in range(repeats):
+        t3 = time.perf_counter()
+        proof = prove(
+            params, num_validators, first_epoch, transitions,
+            max_transitions=num_transitions, device=True,
+        )
+        t4 = time.perf_counter()
+        tag = "cold (incl. compile)" if it == 0 else "warm"
+        print(f"prove[{it}] {tag}: {t4-t3:.1f}s")
 
     ok = verify_parsed(params.epochs.vk, first_epoch, last_epoch, proof)
     bad = verify_parsed(params.epochs.vk, first_epoch, first_epoch, proof)
