@@ -56,6 +56,10 @@ _Z = _nonresidue_z()
 _HALF_P_LIMBS = int_to_limbs((P - 1) // 2, FQ.n).astype(np.uint32)
 _P_LIMBS = FQ.p_limbs.astype(np.uint32)
 
+# jit cache: hash_to_g1_device is called per batch; re-wrapping its stages
+# in fresh jax.jit objects every call would recompile every call
+_JITS = {}
+
 
 def _parse_candidates(xof_words, compat: bool):
     """XOF state words [2, 8, B] uint32 (two 32-byte Blake2s blocks, LE)
@@ -171,13 +175,17 @@ def hash_to_g1_device(domain: bytes, messages, extra_data: bytes = b"",
 
     # 1) device CRH per message
     words = db.pack_messages(messages)
-    crh_state = jax.jit(
-        lambda wds: db.blake2s_batch(
-            wds, len(messages[0]), digest_size=32,
-            node_offset=db._xof_node_offset(hash_bytes), person=domain,
+    key = ("crh", len(messages[0]), domain)
+    fn = _JITS.get(key)
+    if fn is None:
+        mlen = len(messages[0])
+        fn = _JITS[key] = jax.jit(
+            lambda wds: db.blake2s_batch(
+                wds, mlen, digest_size=32,
+                node_offset=db._xof_node_offset(hash_bytes), person=domain,
+            )
         )
-    )(words)  # [8, B]
-    crh_np = np.asarray(crh_state)
+    crh_np = np.asarray(fn(words))  # [8, B]
 
     # 2) XOF inputs: counter || extra_data || crh(32B), per (msg, counter)
     crh_bytes = [crh_np[:, i].astype("<u4").tobytes() for i in range(B)]
@@ -189,11 +197,14 @@ def hash_to_g1_device(domain: bytes, messages, extra_data: bytes = b"",
     xof_words = db.pack_messages(xof_msgs)  # [(16*nblk), B*C]
     msg_len = len(xof_msgs[0])
 
-    @jax.jit
-    def stage_a(wds):
-        xof = db.blake2xs_batch(wds, msg_len, hash_bytes, person=domain)
-        x, greatest, valid, w, t = _candidate_points(xof, compat)
-        return x, greatest, valid, w, t
+    key = ("xof_parse", msg_len, domain, compat)
+    stage_a = _JITS.get(key)
+    if stage_a is None:
+        def _stage_a(wds, _mlen=msg_len, _dom=domain, _compat=compat):
+            xof = db.blake2xs_batch(wds, _mlen, hash_bytes, person=_dom)
+            return _candidate_points(xof, _compat)
+
+        stage_a = _JITS[key] = jax.jit(_stage_a)
 
     x, greatest, valid, w, t = stage_a(xof_words)
 
@@ -203,17 +214,20 @@ def hash_to_g1_device(domain: bytes, messages, extra_data: bytes = b"",
     first = np.argmax(valid_np, axis=0)  # first True (0 if none; masked by has)
     sel = (first * B + np.arange(B)).astype(np.int32)
 
-    @jax.jit
-    def stage_b(x, greatest, w, t, sel):
-        xs = jnp.take(x, sel, axis=-1)
-        ws = jnp.take(w, sel, axis=-1)
-        ts = jnp.take(t, sel, axis=-1)
-        gs = jnp.take(greatest, sel, axis=-1)
-        y = _tonelli_shanks_finish(ts, ws)
-        y = _select_greatest(y, gs)
-        # 4) cofactor multiply (projective scalar mul by the fixed cofactor)
-        pt = dc.g1.from_affine((xs, y))
-        return dc.g1.scalar_mul_const(G1_COFACTOR, pt)
+    stage_b = _JITS.get("finish")
+    if stage_b is None:
+        def _stage_b(x, greatest, w, t, sel):
+            xs = jnp.take(x, sel, axis=-1)
+            ws = jnp.take(w, sel, axis=-1)
+            ts = jnp.take(t, sel, axis=-1)
+            gs = jnp.take(greatest, sel, axis=-1)
+            y = _tonelli_shanks_finish(ts, ws)
+            y = _select_greatest(y, gs)
+            # cofactor multiply (projective scalar mul by the fixed cofactor)
+            pt = dc.g1.from_affine((xs, y))
+            return dc.g1.scalar_mul_const(G1_COFACTOR, pt)
+
+        stage_b = _JITS["finish"] = jax.jit(_stage_b)
 
     return stage_b(x, greatest, w, t, jnp.asarray(sel)), has
 

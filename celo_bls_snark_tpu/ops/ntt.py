@@ -62,20 +62,66 @@ class NttOps:
         tens of MB and overflows the axon remote-compile request)."""
         return jnp.asarray(self._twiddles(N, inverse))
 
+    # The reshape/strided-slice butterfly below is MISCOMPILED by the axon
+    # TPU backend at N >= 2^20 (verified 2026-08-19: stage half=64 writes
+    # wrong values into the last 128 lanes — out-of-thin-air limb patterns
+    # like [0]*16 + [-4779] that no well-formed stage can produce, while
+    # every primitive passes standalone and an explicit-gather formulation
+    # of the SAME butterfly is exact). Large single-batch transforms route
+    # through _ntt_gather on TPU.
+    _GATHER_MIN_N = 1 << 20
+
+    def _ntt_gather(self, coeffs, inverse, master):
+        """Gather-indexed butterfly (platform-bug workaround, see above):
+        u/v extraction and hi/lo recombination via jnp.take with indices
+        computed from iota — no [.., 2, half] reshape-slices, no stack."""
+        f, spec = self.f, self.spec
+        n = coeffs.shape[0]
+        N = coeffs.shape[-1]
+        stages = N.bit_length() - 1
+        x = coeffs[..., _bit_reverse_perm(N)]
+        halfN = N // 2
+        io2 = jax.lax.iota(jnp.int32, halfN)
+        ioN = jax.lax.iota(jnp.int32, N)
+        for s in range(stages):
+            half = 1 << s
+            stride = N >> (s + 1)
+            tw = master[:, ::stride]  # [n, half]
+            g = io2 // half
+            j = io2 - g * half
+            u_idx = g * (2 * half) + j
+            u = jnp.take(x, u_idx, axis=-1)
+            v = jnp.take(x, u_idx + half, axis=-1)
+            twflat = jnp.tile(tw, (1, N // (2 * half)))
+            vw = f.mul(v, twflat)
+            cat = jnp.concatenate([f.add(u, vw), f.sub(u, vw)], axis=-1)
+            g2 = ioN // half
+            j2 = ioN - g2 * half
+            src = (g2 >> 1) * half + j2 + (g2 & 1) * halfN
+            x = jnp.take(cat, src, axis=-1)
+        if inverse:
+            ninv = spec.const(pow(N, -1, self.r), (1,))
+            x = f.mul(x, jnp.broadcast_to(ninv, x.shape))
+        return x
+
     def ntt(self, coeffs, inverse=False, master=None):
         """coeffs: [n_limbs, *batch, N] Montgomery array; transforms the
         LAST axis (independently per leading batch index) and returns the
         NTT (or inverse NTT, scaled by 1/N) in natural order. `master`
         optionally supplies the twiddle table (see master_table)."""
+        from .field import _on_tpu
+
         f, spec = self.f, self.spec
         n = coeffs.shape[0]
         N = coeffs.shape[-1]
         lead = coeffs.shape[1:-1]  # leading batch dims (may be empty)
         assert N & (N - 1) == 0
-        stages = N.bit_length() - 1
-        x = coeffs[..., _bit_reverse_perm(N)]
         if master is None:
             master = jnp.asarray(self._twiddles(N, inverse))  # [n, N/2]
+        if not lead and N >= self._GATHER_MIN_N and _on_tpu():
+            return self._ntt_gather(coeffs, inverse, master)
+        stages = N.bit_length() - 1
+        x = coeffs[..., _bit_reverse_perm(N)]
         bcast = (n, *([1] * len(lead)), N // 2)
         for s in range(stages):
             half = 1 << s          # butterfly half-width
