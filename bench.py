@@ -57,7 +57,8 @@ N_SEED = 1024  # messages hashed for real on the host
 def build_inputs(n_messages, n_validators, seed=b"benchseedbenchsee"):
     """One committee of `n_validators` signing `n_messages` distinct
     messages (the Celo block-sync shape: same committee, many blocks)."""
-    assert n_messages % N_SEED == 0 and n_messages >= N_SEED
+    if n_messages % N_SEED != 0 or n_messages < N_SEED:
+        raise ValueError(f"n_messages must be a multiple of {N_SEED}")
     rng = XorShiftRng(seed[:16])
     h2c = composite_hash_to_g1_cip22()
     sks = [PrivateKey.generate(rng) for _ in range(n_validators)]

@@ -105,8 +105,10 @@ def pack_messages(messages):
     assert all(len(m) == L for m in messages)
     nblocks = max(1, (L + 63) // 64)
     buf = np.zeros((len(messages), nblocks * 64), dtype=np.uint8)
-    for i, msg in enumerate(messages):
-        buf[i, :L] = np.frombuffer(msg, dtype=np.uint8)
+    if L:
+        buf[:, :L] = np.frombuffer(b"".join(messages), dtype=np.uint8).reshape(
+            len(messages), L
+        )
     words = buf.view("<u4").T.copy()  # [16*nblocks, B]
     return jnp.asarray(words)
 
