@@ -42,10 +42,19 @@ def init_distributed(coordinator_address=None, num_processes=None,
     if num_processes in (0, 1):
         _INITIALIZED = True
         return
-    if coordinator_address is None and jax.default_backend() != "tpu":
+    # jax.distributed.initialize must run before the XLA backend comes up,
+    # so the platform is read from config (jax.default_backend() would
+    # initialize the backend and poison the call below)
+    plat = (jax.config.jax_platforms or "").split(",")[0]
+    if coordinator_address is None and plat == "cpu":
         # nothing to coordinate on a dev box
         _INITIALIZED = True
         return
+    if plat == "cpu":
+        # cross-process collectives on the CPU backend need an explicit
+        # transport; gloo ships in jaxlib (tests/test_distributed_mp.py
+        # drives a real 2-process mesh through this path)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
