@@ -574,7 +574,15 @@ def make_field_ops(spec: FieldSpec):
         return jnp.where((borrow != 0)[None], z, diff).astype(jnp.int32)
 
     def pow_const(a, e: int):
-        """a^e for a fixed python-int exponent (scan over bits for large e)."""
+        """a^e for a fixed python-int exponent.
+
+        Large exponents use 4-bit fixed windows: precompute a^0..a^15 once
+        (14 muls), then scan MSB-first over windows with 4 squarings + ONE
+        table-indexed multiply each. The previous bit-scan executed a full
+        multiply per bit (select-after-mul, branch-free), i.e. 2 muls/bit;
+        windows cost 5 muls/4 bits — 1.6x fewer kernel-muls for the
+        ~330-bit Legendre/Tonelli-Shanks/inverse exponents that dominate
+        the device hash-to-G1 path."""
         if e == 0:
             return spec.ones(a.shape[1:])
         if e.bit_length() <= 8:
@@ -587,17 +595,26 @@ def make_field_ops(spec: FieldSpec):
                 if e:
                     base = sq(base)
             return result
+        W = 4
         nb = e.bit_length()
-        bits = jnp.asarray(
-            [(e >> (nb - 1 - i)) & 1 for i in range(1, nb)], dtype=jnp.uint32
-        )
+        nw = (nb + W - 1) // W
+        digits = [(e >> (W * (nw - 1 - i))) & ((1 << W) - 1) for i in range(nw)]
+        pows = [spec.ones(a.shape[1:]), a]
+        for _ in range(2, 1 << W):
+            pows.append(mul(pows[-1], a))
+        table = jnp.stack(pows)  # [16, n, B]
+        res = table[digits[0]]  # top window: static index
 
-        def step(res, bit):
-            res = sq(res)
-            res = jnp.where(bit != 0, mul(res, a), res)
+        def step(res, d):
+            for _ in range(W):
+                res = sq(res)
+            res = mul(res, jax.lax.dynamic_index_in_dim(
+                table, d, axis=0, keepdims=False))
             return res, None
 
-        res, _ = jax.lax.scan(step, a, bits)
+        res, _ = jax.lax.scan(
+            step, res, jnp.asarray(digits[1:], dtype=jnp.int32)
+        )
         return res
 
     def inv(a):
