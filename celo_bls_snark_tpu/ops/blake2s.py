@@ -38,25 +38,31 @@ def _compress(h, m, t, last):
     """h: [8, B] uint32; m: [16, B] uint32; t: python-int byte counter;
     last: python bool. Returns new [8, B] h.
 
-    Rounds run as a lax.fori_loop with the SIGMA permutation as a gather —
-    a fully unrolled 10-round graph looks tiny but sends XLA:CPU's LLVM
-    codegen into the weeds (observed: >1h compiles); the rolled form
-    compiles in seconds and the loop body is still one fused VPU block."""
+    Rounds run as a lax.scan whose xs are the 10 per-round message
+    schedules pre-built with STATIC sigma indexing (no gathers inside the
+    loop), and the working state is carried as 16 separate rows (no
+    .at[].set updates). The rolled form matters on both backends: a fully
+    unrolled 10-round graph sends XLA:CPU's LLVM codegen into the weeds
+    (observed: >1h compiles) and costs ~8 min of axon-TPU compile per
+    (msg_len, person) variant; this form compiles in seconds everywhere
+    and the loop body is one fused VPU block."""
     B = h.shape[1]
-    iv = jnp.broadcast_to(
-        jnp.asarray(np.asarray(IV, dtype=np.uint32))[:, None], (8, B)
+    # [10, 16, B]: round r's message schedule, static permutation
+    ms_all = jnp.stack(
+        [jnp.stack([m[j] for j in SIGMA[r]]) for r in range(10)]
     )
-    v = jnp.concatenate([h, iv], axis=0)
-    v = v.at[12].set(v[12] ^ jnp.uint32(t & MASK32))
-    v = v.at[13].set(v[13] ^ jnp.uint32((t >> 32) & MASK32))
+    v = [h[i] for i in range(8)] + [
+        jnp.broadcast_to(jnp.uint32(IV[i]), (B,)) for i in range(8)
+    ]
+    v[12] = v[12] ^ jnp.uint32(t & MASK32)
+    v[13] = v[13] ^ jnp.uint32((t >> 32) & MASK32)
     if last:
-        v = v.at[14].set(v[14] ^ jnp.uint32(MASK32))
-    sigma = jnp.asarray(_SIGMA_ARR)
+        v[14] = v[14] ^ jnp.uint32(MASK32)
 
-    def round_body(r, v):
-        ms = jnp.take(m, jnp.take(sigma, r, axis=0), axis=0)  # [16, B]
+    def round_body(carry, ms):
+        v = list(carry)
 
-        def g(v, a, b, c, d, x, y):
+        def g(a, b, c, d, x, y):
             va = v[a] + v[b] + x
             vd = _rotr(v[d] ^ va, 16)
             vc = v[c] + vd
@@ -65,20 +71,20 @@ def _compress(h, m, t, last):
             vd = _rotr(vd ^ va, 8)
             vc = vc + vd
             vb = _rotr(vb ^ vc, 7)
-            return v.at[a].set(va).at[b].set(vb).at[c].set(vc).at[d].set(vd)
+            v[a], v[b], v[c], v[d] = va, vb, vc, vd
 
-        v = g(v, 0, 4, 8, 12, ms[0], ms[1])
-        v = g(v, 1, 5, 9, 13, ms[2], ms[3])
-        v = g(v, 2, 6, 10, 14, ms[4], ms[5])
-        v = g(v, 3, 7, 11, 15, ms[6], ms[7])
-        v = g(v, 0, 5, 10, 15, ms[8], ms[9])
-        v = g(v, 1, 6, 11, 12, ms[10], ms[11])
-        v = g(v, 2, 7, 8, 13, ms[12], ms[13])
-        v = g(v, 3, 4, 9, 14, ms[14], ms[15])
-        return v
+        g(0, 4, 8, 12, ms[0], ms[1])
+        g(1, 5, 9, 13, ms[2], ms[3])
+        g(2, 6, 10, 14, ms[4], ms[5])
+        g(3, 7, 11, 15, ms[6], ms[7])
+        g(0, 5, 10, 15, ms[8], ms[9])
+        g(1, 6, 11, 12, ms[10], ms[11])
+        g(2, 7, 8, 13, ms[12], ms[13])
+        g(3, 4, 9, 14, ms[14], ms[15])
+        return tuple(v), None
 
-    v = jax.lax.fori_loop(0, 10, round_body, v)
-    return h ^ v[:8] ^ v[8:]
+    v, _ = jax.lax.scan(round_body, tuple(v), ms_all)
+    return h ^ jnp.stack(v[:8]) ^ jnp.stack(v[8:])
 
 
 def _param_h0(digest_size, fanout, depth, leaf_size, node_offset, person):

@@ -1,12 +1,20 @@
 """Epoch-SNARK public API (crates/epoch-snark/src/api/).
 
-verify() is fully functional: constant-size light-client check of an epoch
-transition proof (verifier.rs:23-40) — recompute the two Blake2s commitment
-hashes, pack to BW6-Fr public inputs, Groth16-verify over BW6-761.
+All three entry points are fully implemented:
 
-trusted_setup()/prove() for the full ValidatorSetUpdate circuit are the
-layer-3 continuation (gadget curve/pairing vars); see snark/epochs.py for
-the circuit scaffolding and ROADMAP.md.
+- verify(): constant-size light-client check of an epoch transition proof
+  (verifier.rs:23-40) — recompute the two Blake2s commitment hashes, pack
+  to BW6-Fr public inputs, Groth16-verify over BW6-761. Verifies the
+  deployed Celo production proof (tests/test_snark_verify.py).
+- trusted_setup(): builds the empty ValidatorSetUpdate circuit (and the
+  optional HashToBits helper circuit for the 2-SNARK mode) and runs
+  Groth16 setup over BW6-761 / BLS12-377 (setup.rs:17-105), with the
+  setup functions injectable for MPC ceremonies.
+- prove(): dummy-update padding, optional CRH->XOF helper proof, and a
+  no-zk Groth16 proof over the device MSM/NTT kernels (prover.rs:22-82).
+
+The full setup->prove->verify e2e runs on TPU in both 1-SNARK and
+2-SNARK modes (E2E_RESULTS.md).
 """
 
 from dataclasses import dataclass

@@ -61,13 +61,19 @@ def main():
     sigs_jac = jax.tree.map(jnp.asarray, dc.g1_pack(sigs))
     apk_aff = jax.tree.map(jnp.asarray, dbls.pack_g2_affine([apk.pt]))
 
+    # jit the pairing stage ONCE — calling batch_verify_grouped_device
+    # eagerly dispatches every Miller-loop primitive separately over the
+    # device tunnel (this was the round-3 regression: 29.4 verifs/s came
+    # from eager dispatch latency, not compute)
+    pair_fn = jax.jit(
+        lambda s, h, pk: dbls.batch_verify_grouped_device(s, h, pk, groups=1)
+    )
+
     def verify_with_hashing():
         hashes_jac, has = hash_to_g1_device(SIG_DOMAIN, msgs, b"",
                                             compat=True, num_counters=24)
         assert has.all(), "fallback lane in bench batch"
-        ok = dbls.batch_verify_grouped_device(
-            sigs_jac, hashes_jac, apk_aff, groups=1
-        )
+        ok = pair_fn(sigs_jac, hashes_jac, apk_aff)
         return bool(np.asarray(ok)[0])
 
     # warmup (compiles all stages) + correctness

@@ -24,7 +24,6 @@ if jax.config.jax_platforms != "cpu":
 
     _jeb.clear_backends()
 
-# Persistent compilation cache: the big pairing/tower graphs compile once
 # Persistent compilation cache: DISABLED for test runs. XLA:CPU
 # executable (de)serialization is best-effort in this jaxlib and
 # SIGSEGVs nondeterministically inside the zstd cache codec even on a
@@ -37,7 +36,31 @@ if jax.config.jax_platforms != "cpu":
 # ~extra few minutes of compile beats a ~1-in-1 chance of a SIGSEGV'd
 # run. Opt back in with CELO_TESTS_USE_JAX_CACHE=1 for local iteration.
 if os.environ.get("CELO_TESTS_USE_JAX_CACHE") == "1":
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+    # opt-in path: key the dir by the host CPU-feature fingerprint so a
+    # cache written on a different machine is never deserialized (SIGILL
+    # risk) — same keying as __graft_entry__.py::_cpu_fingerprint
+    import hashlib
+    import platform
+
+    def _cpu_fingerprint():
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        return hashlib.blake2s(
+                            " ".join(sorted(line.split()[2:])).encode(),
+                            digest_size=6,
+                        ).hexdigest()
+        except OSError:
+            pass
+        return hashlib.blake2s(
+            platform.processor().encode(), digest_size=6
+        ).hexdigest()
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        f"/root/repo/.jax_cache_cpu_{_cpu_fingerprint()}",
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 else:
     jax.config.update("jax_enable_compilation_cache", False)
