@@ -167,13 +167,14 @@ def _pow2ceil(v: int) -> int:
 def _run_candidates(crh_u8, ed, c_lo: int, nc: int, domain: bytes,
                     compat: bool):
     """Evaluate counters [c_lo, c_lo+nc) for the messages whose CRH digests
-    are the rows of crh_u8 [m, 32]. Returns stage-a outputs with lane
-    layout lane = (counter-c_lo)*m + msg."""
+    are the rows of crh_u8 [m, crh_len] (32 for the DirectHasher, 48 for
+    the composite Pedersen CRH). Returns stage-a outputs with lane layout
+    lane = (counter-c_lo)*m + msg."""
     from ..hash_to_curve.common import hash_length, G1_BYTES
 
     hash_bytes = hash_length(G1_BYTES)  # 64
-    m = crh_u8.shape[0]
-    msg_len = 1 + len(ed) + 32
+    m, crh_len = crh_u8.shape
+    msg_len = 1 + len(ed) + crh_len
     nblocks = max(1, (msg_len + 63) // 64)
     buf = np.zeros((nc * m, nblocks * 64), dtype=np.uint8)
     buf[:, 0] = np.repeat(
@@ -196,12 +197,18 @@ def _run_candidates(crh_u8, ed, c_lo: int, nc: int, domain: bytes,
 
 
 def hash_to_g1_device(domain: bytes, messages, extra_data: bytes = b"",
-                      compat: bool = True, num_counters: int = 16):
+                      compat: bool = True, num_counters: int = 16,
+                      crh_u8=None):
     """Device try-and-increment core: returns (jac_points, has_mask) with
     the hashed points as a DEVICE projective batch and a numpy bool mask of
     messages whose first valid counter fell inside [0, num_counters).
     Lanes with has=False hold garbage — route them to the host fallback
     (hash_to_g1_direct_cip22_batch does).
+
+    crh_u8: optional precomputed inner-hash bytes [B, crh_len] uint8 —
+    the CIP22 CRH step. When None, the DirectHasher CRH (batched device
+    Blake2s) runs here; pass the composite Pedersen digests
+    (ops/pedersen.py::bh_crh_digests) for the CompositeHasher path.
 
     Counter strategy: a counter is valid with prob ~0.42, so evaluating
     all `num_counters` for every message wastes ~C/2.4x of the dominant
@@ -216,25 +223,30 @@ def hash_to_g1_device(domain: bytes, messages, extra_data: bytes = b"",
     n = FQ.n
     ed = np.frombuffer(extra_data, dtype=np.uint8)
 
-    # 1) device CRH per message
+    # 1) device CRH per message (DirectHasher Blake2s unless the caller
+    #    supplied precomputed inner hashes)
     from ..hash_to_curve.common import hash_length, G1_BYTES
 
     hash_bytes = hash_length(G1_BYTES)
-    words = db.pack_messages(messages)
-    key = ("crh", len(messages[0]), domain)
-    fn = _JITS.get(key)
-    if fn is None:
-        mlen = len(messages[0])
-        fn = _JITS[key] = jax.jit(
-            lambda wds: db.blake2s_batch(
-                wds, mlen, digest_size=32,
-                node_offset=db._xof_node_offset(hash_bytes), person=domain,
+    if crh_u8 is None:
+        words = db.pack_messages(messages)
+        key = ("crh", len(messages[0]), domain)
+        fn = _JITS.get(key)
+        if fn is None:
+            mlen = len(messages[0])
+            fn = _JITS[key] = jax.jit(
+                lambda wds: db.blake2s_batch(
+                    wds, mlen, digest_size=32,
+                    node_offset=db._xof_node_offset(hash_bytes), person=domain,
+                )
             )
-        )
-    crh_np = np.asarray(fn(words))  # [8, B]
-    crh_u8 = (
-        crh_np.T.astype("<u4").copy().view(np.uint8).reshape(B, 32)
-    )  # [B, 32] LE digest bytes
+        crh_np = np.asarray(fn(words))  # [8, B]
+        crh_u8 = (
+            crh_np.T.astype("<u4").copy().view(np.uint8).reshape(B, 32)
+        )  # [B, 32] LE digest bytes
+    else:
+        crh_u8 = np.asarray(crh_u8, dtype=np.uint8)
+        assert crh_u8.shape[0] == B
 
     # 2) multi-round counter scan; selected candidates assembled on host
     sel_x = np.zeros((n, B), np.int32)
@@ -314,6 +326,39 @@ def hash_to_g1_direct_cip22_batch(domain: bytes, messages, extra_data: bytes = b
     # host fallback for messages with no valid counter in [0, C)
     if not has.all():
         h2c = TryAndIncrementCIP22(DirectHasher(), "g1", compat)
+        for i in np.nonzero(~has)[0]:
+            pts[i], _ = h2c.hash_with_attempt_cip22(
+                domain, messages[i], extra_data
+            )
+    return pts
+
+
+def hash_to_g1_composite_cip22_batch(domain: bytes, messages,
+                                     extra_data: bytes = b"",
+                                     compat: bool = True,
+                                     num_counters: int = 16):
+    """Batched CIP22 try-and-increment over the COMPOSITE hasher — the
+    reference's production sign-path hash — end-to-end on device: the
+    Bowe-Hopwood Pedersen CRH (ops/pedersen.py) feeds its 48-byte
+    x-coordinate digests into the Blake2Xs counter scan.
+
+    Reference semantics: TryAndIncrementCIP22(CompositeHasher).hash
+    (try_and_increment_cip22.rs:81-134 with composite.rs:80-95)."""
+    from ..hash_to_curve.try_and_increment_cip22 import TryAndIncrementCIP22
+    from ..hashers.composite import composite_hasher
+    from . import pedersen as ped
+
+    crh = ped.bh_crh_digests(messages)
+    crh_u8 = np.frombuffer(b"".join(crh), dtype=np.uint8).reshape(
+        len(messages), 48
+    )
+    out_jac, has = hash_to_g1_device(
+        domain, messages, extra_data, compat, num_counters, crh_u8=crh_u8
+    )
+    pts = dc.unpack_jac(dc.g1, FQ, out_jac)
+
+    if not has.all():
+        h2c = TryAndIncrementCIP22(composite_hasher(), "g1", compat)
         for i in np.nonzero(~has)[0]:
             pts[i], _ = h2c.hash_with_attempt_cip22(
                 domain, messages[i], extra_data

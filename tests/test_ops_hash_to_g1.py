@@ -57,3 +57,25 @@ def test_fallback_path():
         SIG_DOMAIN, msgs, b"", num_counters=1
     )
     assert got == expected
+
+
+@pytest.mark.parametrize("compat", [True, False])
+def test_composite_device_matches_host_oracle(compat):
+    """The COMPOSITE (Bowe-Hopwood CRH) device pipeline — the reference's
+    production sign-path hash — vs TryAndIncrementCIP22(CompositeHasher)
+    (try_and_increment_cip22.rs:30-32, composite.rs:80-95)."""
+    from celo_bls_snark_tpu.hash_to_curve.try_and_increment_cip22 import (
+        composite_hash_to_g1_cip22,
+    )
+    from celo_bls_snark_tpu.ops.hash_to_g1 import (
+        hash_to_g1_composite_cip22_batch,
+    )
+
+    msgs = [b"composite device h2g message %02d" % i for i in range(5)]
+    extra = b"\x01\x02"
+    host = composite_hash_to_g1_cip22(compat)
+    expected = [host.hash(SIG_DOMAIN, m, extra) for m in msgs]
+    got = hash_to_g1_composite_cip22_batch(
+        SIG_DOMAIN, msgs, extra, compat=compat
+    )
+    assert got == expected
