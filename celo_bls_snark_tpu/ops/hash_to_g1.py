@@ -18,7 +18,8 @@ runs as one vectorized device program:
      t^((s-1)/2) feeds both the Euler/Legendre test (45 more squarings)
      and the Tonelli-Shanks start,
   5. first-valid-counter selection per message (the try-and-increment
-     semantics), then the 46-round branch-free Tonelli-Shanks correction
+     semantics), then the table-based Tonelli-Shanks correction (2-adic
+     dlog digit extraction, 110 squarings + 6 subgroup-table matches)
      on the surviving lanes only,
   6. sign selection (lexicographically greatest root iff the flag bit is
      set — hostmath/curves.py get_point_from_x parity) and the G1
@@ -108,29 +109,93 @@ def _sqrt_prep(t):
     return w, tt0, is_qr
 
 
+_TS_DIGIT = 8  # bits per extracted 2-adic dlog digit
+_TS_TABLES = None
+
+
+def _ts_tables():
+    """Host-precomputed tables for the table-based Tonelli-Shanks:
+    the 2-Sylow dlog e of u = t^s (u = z^e, e < 2^46) is extracted 8 bits
+    at a time by matching u^(2^(38-8j)) against the order-2^8 subgroup
+    (Bernstein, "Faster square roots in annoying finite fields"), and the
+    root correction z^(-e/2) is assembled from per-digit gathers.
+
+    Returns (match38_raw [n, 256], match40_raw [n, 64],
+             upd[j] Montgomery [n, 256] = zinv^(d*2^(8j)),
+             half[j] Montgomery [n, 256] = zinv^(d*2^(8j-1)) with
+             half[0][d] = zinv^(d>>1))."""
+    global _TS_TABLES
+    if _TS_TABLES is not None:
+        return _TS_TABLES
+    zinv = pow(_Z, -1, P)
+    n = FQ.n
+
+    # NOTE: cached as NUMPY arrays — this builder may first run inside a
+    # jit trace, and memoizing device arrays created there would leak
+    # tracers into later traces. jnp conversion happens at use time.
+    def raw_pack(vals):
+        return np.stack([int_to_limbs(v, n) for v in vals], axis=-1).astype(
+            np.int32
+        )
+
+    match38 = raw_pack([pow(_Z, (k << 38), P) for k in range(256)])
+    match40 = raw_pack([pow(_Z, (k << 40), P) for k in range(64)])
+    upd, half = [], []
+    ndig = (TWO_ADICITY + _TS_DIGIT - 1) // _TS_DIGIT  # 6
+    for j in range(ndig):
+        upd.append(np.asarray(FQ.pack(
+            [pow(zinv, d << (8 * j), P) for d in range(256)]
+        )))
+        if j == 0:
+            half.append(np.asarray(FQ.pack(
+                [pow(zinv, d >> 1, P) for d in range(256)]
+            )))
+        else:
+            half.append(np.asarray(FQ.pack(
+                [pow(zinv, d << (8 * j - 1), P) for d in range(256)]
+            )))
+    _TS_TABLES = (match38, match40, upd, half)
+    return _TS_TABLES
+
+
+def _ts_match(u_pow, table_raw):
+    """u_pow (Montgomery, lazy) vs raw canonical table [n, K]: returns the
+    matching index [B] (the digit). Limb-wise running AND keeps the
+    intermediate at [K, B] bools."""
+    u_raw = fq.to_raw(u_pow)  # [n, B] canonical
+    table_raw = jnp.asarray(table_raw)
+    K = table_raw.shape[1]
+    acc = jnp.ones((K,) + tuple(u_raw.shape[1:]), dtype=bool)
+    for i in range(FQ.n):
+        acc = acc & (table_raw[i][:, None] == u_raw[i][None, :])
+    return jnp.argmax(acc, axis=0).astype(jnp.int32)
+
+
 def _tonelli_shanks_finish(t, w):
-    """Branch-free Tonelli-Shanks from the shared prefix: returns r with
-    r^2 == t (for QR t; garbage otherwise)."""
-    batch = tuple(t.shape[1:])
+    """Table-based Tonelli-Shanks from the shared prefix (w = t^((s-1)/2)):
+    returns r with r^2 == t (for QR t; garbage otherwise).
+
+    r = t^((s+1)/2) * z^(-e/2) where t^s = z^e in the order-2^46 2-Sylow
+    subgroup. e is recovered 8 bits at a time (110 squarings + 6 table
+    matches total) instead of the classic quadratic correction loop
+    (~990 squarings) — ~8x less work on the stage-b winner lanes."""
+    match38, match40, upd, half = _ts_tables()
     r = fq.mul(w, t)        # t^((s+1)/2)
-    tt = fq.mul(r, w)       # t^s
-    c = jnp.broadcast_to(FQ.const(_Z, (1,)), (FQ.n, *batch))
-    one = FQ.ones(batch)
-    M = TWO_ADICITY
-
-    def outer(k, state):
-        # i = M-2-k squarings expose bit i of the 2-Sylow discrete log
-        r, tt, c = state
-        i = M - 2 - k
-        b = jax.lax.fori_loop(0, i, lambda _, x: fq.sq(x), tt)
-        flip = ~fq.eq(b, one)
-        c2 = fq.sq(c)
-        r = fq.select(flip, fq.mul(r, c), r)
-        tt = fq.select(flip, fq.mul(tt, c2), tt)
-        return (r, tt, c2)
-
-    r, tt, c = jax.lax.fori_loop(0, M - 1, outer, (r, tt, c))
-    return r
+    u = fq.mul(r, w)        # t^s = z^e
+    c_acc = None
+    ndig = (TWO_ADICITY + _TS_DIGIT - 1) // _TS_DIGIT  # 6
+    for j in range(ndig):
+        nsq = TWO_ADICITY - _TS_DIGIT * (j + 1)  # 38,30,22,14,6,-2
+        if nsq > 0:
+            up = jax.lax.fori_loop(0, nsq, lambda _, x: fq.sq(x), u)
+            d = _ts_match(up, match38)
+        else:
+            d = _ts_match(u, match40)  # last 6 bits, order-2^6 subgroup
+        if j < ndig - 1:
+            u = fq.mul(u, jnp.take(jnp.asarray(upd[j]), d, axis=-1))
+        hj = jnp.take(jnp.asarray(half[j]), d, axis=-1)
+        c_acc = hj if c_acc is None else fq.mul(c_acc, hj)
+    return fq.mul(r, c_acc)
 
 
 def _select_greatest(y, greatest):
