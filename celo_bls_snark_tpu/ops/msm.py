@@ -75,6 +75,78 @@ def msm_g2(bits, pts_jac):
 
 
 # ---------------------------------------------------------------------------
+# Straus grouped MSM (many small MSMs sharing the Horner doubling)
+# ---------------------------------------------------------------------------
+
+def window_digits(scalars, nbits: int, c: int):
+    """[nw, B] int32 window digits, MSB-first (nw = ceil(nbits/c))."""
+    B = len(scalars)
+    W = -(-nbits // c)
+    mask = (1 << c) - 1
+    if c == 8:
+        buf = b"".join(int(s).to_bytes(W, "little") for s in scalars)
+        return (
+            np.frombuffer(buf, dtype=np.uint8)
+            .reshape(B, W)
+            .T[::-1]
+            .astype(np.int32)
+            .copy()
+        )
+    digits = np.zeros((W, B), dtype=np.int32)
+    for i, s in enumerate(scalars):
+        s = int(s)
+        for w in range(W):
+            digits[W - 1 - w, i] = (s >> (c * w)) & mask
+    return digits
+
+
+def straus_msm_groups(curve, digits, pts_jac, groups: int, c: int):
+    """Many small MSMs in one program: out[g] = sum_i k_i * P_i over the
+    lanes of group g (G equal contiguous groups).
+
+    The strict-batch verifier's shape (crates/bls-crypto/src/bls/
+    batch.rs:44-84: per-epoch random-linear combinations of ~20 points
+    with ~136-bit exponents, hundreds of epochs at once). Per-lane
+    double-and-add costs nbits*(dbl+add) at FULL lane width; here the
+    Horner doubling runs at GROUP width and each window costs one
+    per-lane table gather + a grouped lane-sum:
+
+      - per-lane multiples table T[m] = m*P, m < 2^c (2^c - 2 adds, once),
+      - scan windows MSB-first: acc = 2^c*acc (G lanes); acc += group-sums
+        of T[digit] (one gather + msum_groups).
+
+    ~4x fewer field ops than scalar_mul_bits + msum_groups at the
+    reference bench shape (c=4, 20-point groups, 136-bit exponents).
+
+    digits: [nw, B] int32 in [0, 2^c) (window_digits). pts_jac:
+    projective batch [B], B % groups == 0. Returns projective [groups].
+    """
+    nw, B = digits.shape
+    assert B % groups == 0
+    table = [curve.infinity((B,)), pts_jac]
+    for _ in range(2, 1 << c):
+        table.append(curve.add(table[-1], pts_jac))
+    T = jax.tree.map(lambda *xs: jnp.stack(xs), *table)  # leaves [2^c, n, B]
+
+    def gather(d):
+        return jax.tree.map(
+            lambda t: jnp.take_along_axis(
+                t, jnp.broadcast_to(d[None, None, :], (1, *t.shape[1:])), axis=0
+            )[0],
+            T,
+        )
+
+    def step(acc, d):
+        for _ in range(c):
+            acc = curve.double(acc)
+        s = curve.msum_groups(gather(d), groups)
+        return curve.add(acc, s), None
+
+    acc, _ = jax.lax.scan(step, curve.infinity((groups,)), digits)
+    return acc
+
+
+# ---------------------------------------------------------------------------
 # Pippenger
 # ---------------------------------------------------------------------------
 

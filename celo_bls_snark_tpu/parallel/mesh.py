@@ -344,7 +344,17 @@ def sharded_compute_h(mesh, nttops, a_raw, b_raw, c_raw, d: int, g: int,
     hc = combine(ae, be, ce, tinv)
     h = mulp(sharded_ntt(mesh, hc, nttops, inverse=True, axis=axis), sc_ginv)
     conv_out = _pointwise_jit(("to_raw", r), lambda x: nttops.f.to_raw(x))
-    return np.asarray(conv_out(h))
+    out = conv_out(h)
+    # replicate before the host fetch: under a multi-PROCESS mesh each
+    # process only addresses its own shard, and np.asarray on a sharded
+    # global array raises — a jitted identity with replicated
+    # out_shardings inserts the all-gather (near-no-op single-process)
+    rep_key = ("replicate", mesh)
+    if rep_key not in _PW_JIT:
+        _PW_JIT[rep_key] = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(mesh, P(None, None))
+        )
+    return np.asarray(_PW_JIT[rep_key](out))
 
 
 def sharded_msm_g1(mesh, bits, pts_jac, axis="data"):

@@ -72,6 +72,49 @@ def main():
     got_ntt = FR.unpack(pmesh.sharded_ntt(mesh, x, dntt.ntt_fr))
     assert list(got_ntt) == list(want_ntt), pid
 
+    # 3) REAL prover stages across the 2-process mesh: the flagship
+    # Groth16 prover's own code path (snark/accel.py), its collectives
+    # crossing the process boundary — h-poly coset pipeline at 2^12 and a
+    # sharded Pippenger MSM — vs host python-int oracles.
+    from celo_bls_snark_tpu.snark.accel import DeviceAccel
+    from celo_bls_snark_tpu.snark.groth16 import (
+        BLS12_377_ENGINE, _root_of_unity, fft, ifft,
+    )
+
+    accel = DeviceAccel("bls12_377")
+    accel.set_mesh(mesh)
+    d_h = 1 << 12
+    gen = BLS12_377_ENGINE.fr_generator
+    a_e = [random.randrange(R) for _ in range(d_h)]
+    b_e = [random.randrange(R) for _ in range(d_h)]
+    c_e = [random.randrange(R) for _ in range(d_h)]
+    h_sharded = accel.compute_h_evals(a_e, b_e, c_e, d_h, gen)
+    omega = _root_of_unity(BLS12_377_ENGINE, d_h)
+    coeffs = [ifft(e, omega, R) for e in (a_e, b_e, c_e)]
+    gpow = [1] * d_h
+    for i in range(1, d_h):
+        gpow[i] = gpow[i - 1] * gen % R
+    ac, bc, cc = (
+        fft([cf_i * g % R for cf_i, g in zip(cf, gpow)], omega, R)
+        for cf in coeffs
+    )
+    tinv = pow((pow(gen, d_h, R) - 1) % R, -1, R)
+    hc_ = [(xx * yy - zz) % R * tinv % R for xx, yy, zz in zip(ac, bc, cc)]
+    hs = ifft(hc_, omega, R)
+    ginv = pow(gen, -1, R)
+    gipow = [1] * d_h
+    for i in range(1, d_h):
+        gipow[i] = gipow[i - 1] * ginv % R
+    h_expected = [cf * g % R for cf, g in zip(hs, gipow)][: d_h - 1]
+    assert h_sharded == h_expected, (pid, "mp h-poly != host oracle")
+
+    B_msm = 512
+    mpts = [hc.G1.mul(3 + 2 * i, G1_GENERATOR) for i in range(B_msm)]
+    msc = [random.randrange(R) for _ in range(B_msm)]
+    got_msm = accel.g1.msm(mpts, msc, c=6, L=16)  # mesh-routed
+    exp_msm = hc.G1.msm(msc, mpts, c=8)
+    assert got_msm == exp_msm, (pid, "mp prover MSM != host oracle")
+
     print(f"MP_WORKER_OK pid={pid}")
 
 
