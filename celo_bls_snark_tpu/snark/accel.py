@@ -153,6 +153,104 @@ class DeviceAccel:
             raise ValueError(engine_name)
         self._h_jit = {}
 
+    def _ensure_h_jits(self):
+        # SPLIT jits (one 20-stage NTT graph each + trivial pointwise ops)
+        # instead of one fused 140-stage pipeline: the monolith's XLA
+        # compile ran ~5 minutes on the axon remote-compile service every
+        # fresh process (its persistent-cache entry rarely hit), while the
+        # split graphs compile fast and cost only ~15 extra dispatches.
+        if "split" not in self._h_jit:
+            f, nttops = self.fops, self.nttops
+            self._h_jit["split"] = {
+                "from_raw": jax.jit(f.from_raw),
+                "to_raw": jax.jit(f.to_raw),
+                "mul": jax.jit(f.mul),
+                "ntt_f": jax.jit(lambda x, m: nttops.ntt(x, master=m)),
+                "ntt_i": jax.jit(
+                    lambda x, m: nttops.ntt(x, inverse=True, master=m)
+                ),
+                "combine": jax.jit(
+                    lambda ae, be, ce, ti: f.mul(
+                        f.sub(f.mul(ae, be), ce),
+                        jnp.broadcast_to(ti, ae.shape),
+                    )
+                ),
+            }
+        return self._h_jit["split"]
+
+    def prewarm_prove(self, pk, block=False):
+        """Compile ALL of the prover's device programs CONCURRENTLY for a
+        fresh process.
+
+        Cold prove was dominated by sequential per-stage XLA compiles
+        (E2E_RESULTS.md: 759.7 s cold vs 76.1 s warm; the axon backend
+        cannot round-trip TPU executables through the persistent cache).
+        Compiles release the GIL and the backend compiles distinct
+        programs in parallel (measured: 3 programs threaded ~= 1 program
+        wall-clock), so launching every prover program shape up front —
+        the two d-point NTT graphs and each distinct Pippenger
+        (curve, c, L, B) — turns sum(compile) into ~max(compile), and
+        overlaps it all with the Python witness-synthesis pass.
+
+        Shapes are derived from the proving key alone (d = len(h_query)+1,
+        MSM widths = query lengths), so this can start before the circuit
+        is synthesized. With block=False returns the started threads;
+        join them (or just let the first real stage call hit the warm jit
+        cache) later."""
+        import threading
+
+        from ..ops import msm as dmsm
+        from ..utils.config import get_config
+
+        d = len(pk.h_query) + 1
+        assert d & (d - 1) == 0, d
+        cfg = get_config()
+        spec, nttops = self.fspec, self.nttops
+        J = self._ensure_h_jits()
+        m_fwd = nttops.master_table(d, False)
+        m_inv = nttops.master_table(d, True)
+        x0 = jnp.zeros((spec.n, d), jnp.int32)
+        jobs = [
+            lambda: jax.block_until_ready(J["ntt_f"](x0, m_fwd)),
+            lambda: jax.block_until_ready(J["ntt_i"](x0, m_inv)),
+        ]
+        seen = set()
+        for grp, B0 in (
+            (self.g1, len(pk.a_query)),
+            (self.g2, len(pk.b_g2_query)),
+            (self.g1, len(pk.l_query)),
+            (self.g1, d - 1),
+        ):
+            if B0 < 1:
+                continue
+            c = cfg.msm_window or dmsm._auto_c(B0, grp.nbits)
+            L = cfg.msm_lanes or (1 << max(3, min(15, B0.bit_length() - 5)))
+            perm, lin, lane, valid, B = dmsm.plan_msm(
+                [0] * B0, grp.nbits, c, L
+            )
+            key = (grp.key, c, L, B)
+            if key in seen:
+                continue
+            seen.add(key)
+            tmpl = grp.pack_fn([None])
+            pts = jax.tree.map(
+                lambda t: jnp.zeros((np.asarray(t).shape[0], B), jnp.int32),
+                tmpl,
+            )
+            fn = dmsm._pippenger_jit(id(grp.curve), grp.curve, c, L)
+            args = (pts, jnp.asarray(perm), jnp.asarray(lin),
+                    jnp.asarray(lane), jnp.asarray(valid))
+            jobs.append(
+                lambda fn=fn, args=args: jax.block_until_ready(fn(*args))
+            )
+        threads = [threading.Thread(target=j, daemon=True) for j in jobs]
+        for t in threads:
+            t.start()
+        if block:
+            for t in threads:
+                t.join()
+        return threads
+
     def set_mesh(self, mesh):
         """Route the prover's MSM and h-poly NTT stages through the
         mesh-sharded kernels (parallel/mesh.py) when `mesh` spans more than
@@ -192,28 +290,7 @@ class DeviceAccel:
                     return spec.unpack_raw(h_raw)[: d - 1]
         t_c_inv = pow((pow(g, d, r) - 1) % r, -1, r)
         nttops = self.nttops
-        # SPLIT jits (one 20-stage NTT graph each + trivial pointwise ops)
-        # instead of one fused 140-stage pipeline: the monolith's XLA
-        # compile ran ~5 minutes on the axon remote-compile service every
-        # fresh process (its persistent-cache entry rarely hit), while the
-        # split graphs compile fast and cost only ~15 extra dispatches.
-        if "split" not in self._h_jit:
-            self._h_jit["split"] = {
-                "from_raw": jax.jit(f.from_raw),
-                "to_raw": jax.jit(f.to_raw),
-                "mul": jax.jit(f.mul),
-                "ntt_f": jax.jit(lambda x, m: nttops.ntt(x, master=m)),
-                "ntt_i": jax.jit(
-                    lambda x, m: nttops.ntt(x, inverse=True, master=m)
-                ),
-                "combine": jax.jit(
-                    lambda ae, be, ce, ti: f.mul(
-                        f.sub(f.mul(ae, be), ce),
-                        jnp.broadcast_to(ti, ae.shape),
-                    )
-                ),
-            }
-        J = self._h_jit["split"]
+        J = self._ensure_h_jits()
         from ..utils.profiling import stage
 
         with stage("h_poly.tables"):

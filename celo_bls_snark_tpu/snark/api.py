@@ -225,6 +225,13 @@ def generate_hash_helper(helper_pk, blocks, device: bool = False):
     from .epochs import HashToBitsHelper
     from .hash_to_bits_circuit import HashToBits
 
+    accel = None
+    if device:
+        from .accel import get_accel
+
+        accel = get_accel("bls12_377")
+        accel.prewarm_prove(helper_pk)  # overlap compiles with synthesis
+
     message_bits = xof_input_message_bits(blocks)
     cs = ConstraintSystem(BLS_FR, "prove")
     HashToBits(message_bits).generate_constraints(cs)
@@ -234,11 +241,6 @@ def generate_hash_helper(helper_pk, blocks, device: bool = False):
         raise SynthesisError(
             f"hash helper witness unsatisfied constraint: {bad}"
         )
-    accel = None
-    if device:
-        from .accel import get_accel
-
-        accel = get_accel("bls12_377")
     proof = g16.create_proof_no_zk(
         helper_pk, cs, g16.BLS12_377_ENGINE, accel=accel, evals=evals
     )
@@ -258,6 +260,16 @@ def prove(parameters: Parameters, num_validators: int, initial_epoch: EpochBlock
 
     if not transitions:
         raise SynthesisError("prove() needs at least one epoch transition")
+    accel = None
+    if device:
+        from .accel import get_accel
+
+        accel = get_accel("bw6_761")
+        # compile every prover device program concurrently, overlapped
+        # with the witness-synthesis python pass below — turns the cold
+        # first-prove compile tail from sum() into ~max() of the per-
+        # program compile times (accel.prewarm_prove docstring)
+        accel.prewarm_prove(parameters.epochs)
     num_dummy = 0
     if max_transitions > 0:
         if max_transitions < len(transitions):
@@ -300,11 +312,6 @@ def prove(parameters: Parameters, num_validators: int, initial_epoch: EpochBlock
         raise SynthesisError(
             f"witness generation produced unsatisfied constraint: {bad}"
         )
-    accel = None
-    if device:
-        from .accel import get_accel
-
-        accel = get_accel("bw6_761")
     return g16.create_proof_no_zk(
         parameters.epochs, cs, BW6_761_ENGINE, accel=accel, evals=evals
     )

@@ -45,6 +45,7 @@ from celo_bls_snark_tpu.bls import SIG_DOMAIN
 from celo_bls_snark_tpu.bls.batch import byte_count_from_target_batch_size, SECURITY_BOUND
 from celo_bls_snark_tpu.hash_to_curve import composite_hash_to_g1_cip22
 from celo_bls_snark_tpu.ops import bls as dbls
+from celo_bls_snark_tpu.ops import msm as dmsm
 from celo_bls_snark_tpu.ops import curve as dc
 
 B = int(os.environ.get("BENCH_BLOCKS", "300"))
@@ -115,11 +116,12 @@ def make_strategies(inp):
         return dp.pairing_check_product(p, q)[0]
 
     @jax.jit
-    def per_epoch_batch(expbits, sig_jac, pk_jac, h_aff):
-        rsig = dc.g1.scalar_mul_bits(expbits, sig_jac)
-        rpk = dc.g2.scalar_mul_bits(expbits, pk_jac)
-        bsig = dc.g1.msum_groups(rsig, B)
-        bpk = dc.g2.msum_groups(rpk, B)
+    def per_epoch_batch(expdigits, sig_jac, pk_jac, h_aff):
+        # Straus grouped MSM (ops/msm.py): shared Horner doubling at
+        # epoch width, per-lane multiples tables — the device form of
+        # Batch::verify's PublicKey::batch / Signature::batch MSMs
+        bsig = dmsm.straus_msm_groups(dc.g1, expdigits, sig_jac, B, 4)
+        bpk = dmsm.straus_msm_groups(dc.g2, expdigits, pk_jac, B, 4)
         p = interleave(dc.g1.to_affine(bsig), h_aff)
         q = interleave(negg2_B, dc.g2.to_affine(bpk))
         return jnp.all(dbls.verify_pairs_device(p, q))
@@ -137,7 +139,7 @@ def make_strategies(inp):
         int.from_bytes(secrets.token_bytes(exp_size), "little") % R
         for _ in range(B * V)
     ]
-    expbits = jnp.asarray(dbls.scalars_to_bits(exps, nbits=8 * exp_size))
+    expdigits = jnp.asarray(dmsm.window_digits(exps, 8 * exp_size, 4))
 
     return [
         ("per-epoch aggregate screening",
@@ -145,7 +147,7 @@ def make_strategies(inp):
         ("all epoch aggregate screening",
          lambda: all_epoch_aggregate(inp["asig"], inp["apk_b"], inp["h_aff"])),
         ("per-epoch batch verification",
-         lambda: per_epoch_batch(expbits, inp["sig_jac"], inp["pk_jac"], inp["h_aff"])),
+         lambda: per_epoch_batch(expdigits, inp["sig_jac"], inp["pk_jac"], inp["h_aff"])),
         ("per-epoch individual verification",
          lambda: per_epoch_individual(inp["sig_jac"], inp["pk_jac"], inp["h_per_val"])),
     ]
