@@ -229,12 +229,19 @@ def _pow2ceil(v: int) -> int:
     return 1 << max(0, (v - 1).bit_length())
 
 
-def _run_candidates(crh_u8, ed, c_lo: int, nc: int, domain: bytes,
-                    compat: bool):
-    """Evaluate counters [c_lo, c_lo+nc) for the messages whose CRH digests
-    are the rows of crh_u8 [m, crh_len] (32 for the DirectHasher, 48 for
-    the composite Pedersen CRH). Returns stage-a outputs with lane layout
-    lane = (counter-c_lo)*m + msg."""
+def _fused_round(crh_u8, ed, c_lo: int, nc: int, domain: bytes,
+                 compat: bool):
+    """ONE fully-fused device round for counters [c_lo, c_lo+nc) over the
+    messages whose CRH digests are the rows of crh_u8 [m, crh_len] (32 for
+    the DirectHasher, 48 for the composite Pedersen CRH): Blake2Xs XOF,
+    candidate parse, Legendre validity, IN-JIT first-valid-counter
+    selection, Tonelli-Shanks finish, sign select and cofactor multiply —
+    a single dispatch and a single [m]-wide result, no per-lane host
+    round-trips (the eager take/sync glue used to cost more than the
+    whole compute over the device tunnel).
+
+    Returns (jac [m] numpy tree, has [m] numpy bool); lanes with
+    has=False hold garbage points."""
     from ..hash_to_curve.common import hash_length, G1_BYTES
 
     hash_bytes = hash_length(G1_BYTES)  # 64
@@ -250,15 +257,29 @@ def _run_candidates(crh_u8, ed, c_lo: int, nc: int, domain: bytes,
     buf[:, 1 + len(ed) : msg_len] = np.tile(crh_u8, (nc, 1))
     xof_words = jnp.asarray(buf.view("<u4").T.copy())  # [(16*nblk), nc*m]
 
-    key = ("xof_parse", msg_len, domain, compat)
-    stage_a = _JITS.get(key)
-    if stage_a is None:
-        def _stage_a(wds, _mlen=msg_len, _dom=domain, _compat=compat):
+    key = ("fused_round", msg_len, domain, compat, nc, m)
+    fn = _JITS.get(key)
+    if fn is None:
+        def _fn(wds, _mlen=msg_len, _dom=domain, _compat=compat,
+                _nc=nc, _m=m):
             xof = db.blake2xs_batch(wds, _mlen, hash_bytes, person=_dom)
-            return _candidate_points(xof, _compat)
+            x, greatest, valid, w, t = _candidate_points(xof, _compat)
+            vmat = valid.reshape(_nc, _m)
+            first = jnp.argmax(vmat, axis=0).astype(jnp.int32)
+            has = jnp.any(vmat, axis=0)
+            lanes = first * _m + jnp.arange(_m, dtype=jnp.int32)
+            xs = jnp.take(x, lanes, axis=-1)
+            ws = jnp.take(w, lanes, axis=-1)
+            ts = jnp.take(t, lanes, axis=-1)
+            gs = jnp.take(greatest, lanes)
+            y = _tonelli_shanks_finish(ts, ws)
+            y = _select_greatest(y, gs)
+            pt = dc.g1.from_affine((xs, y))
+            return dc.g1.scalar_mul_const(G1_COFACTOR, pt), has
 
-        stage_a = _JITS[key] = jax.jit(_stage_a)
-    return stage_a(xof_words)
+        fn = _JITS[key] = jax.jit(_fn)
+    jac, has = fn(xof_words)
+    return jax.tree.map(np.asarray, jac), np.asarray(has)
 
 
 def hash_to_g1_device(domain: bytes, messages, extra_data: bytes = b"",
@@ -277,12 +298,15 @@ def hash_to_g1_device(domain: bytes, messages, extra_data: bytes = b"",
 
     Counter strategy: a counter is valid with prob ~0.42, so evaluating
     all `num_counters` for every message wastes ~C/2.4x of the dominant
-    cost (the per-candidate Legendre exponentiation). Instead the scan is
-    multi-round: counters [0,4) for every message, then chunks of 8
-    counters for only the (expected ~11.7%, then ~0.16%...) unresolved
-    messages, padded to fixed shapes so each round reuses a cached jit.
-    First-valid-counter semantics are preserved exactly — a message is
-    pending for round r iff every counter of rounds <r was invalid."""
+    cost (the per-candidate Legendre exponentiation); but every extra
+    device round costs tunnel round-trips that rival the compute. The
+    scan is therefore TWO fused rounds, each one jit dispatch
+    (_fused_round: XOF -> validity -> in-jit selection -> sqrt ->
+    cofactor): counters [0, 8) for every message, then the remaining
+    counters for only the (expected ~1.8%) unresolved messages, padded
+    to a fixed cap so the jit is reused. First-valid-counter semantics
+    are preserved exactly — a message hits round 2 iff every round-1
+    counter was invalid, and the rounds' counter ranges are disjoint."""
     B = len(messages)
     C = num_counters
     n = FQ.n
@@ -313,62 +337,36 @@ def hash_to_g1_device(domain: bytes, messages, extra_data: bytes = b"",
         crh_u8 = np.asarray(crh_u8, dtype=np.uint8)
         assert crh_u8.shape[0] == B
 
-    # 2) multi-round counter scan; selected candidates assembled on host
-    sel_x = np.zeros((n, B), np.int32)
-    sel_w = np.zeros((n, B), np.int32)
-    sel_t = np.zeros((n, B), np.int32)
-    sel_g = np.zeros(B, bool)
-    has = np.zeros(B, bool)
-    pending = np.arange(B)
-    c_lo = 0
-    first_round = True
-    while c_lo < C and len(pending):
-        nc = min(4 if first_round else 8, C - c_lo)
-        if first_round:
-            chunks = [pending]
-            cap = B
-        else:
-            cap = min(_pow2ceil(len(pending)), max(32, _pow2ceil(B // 8)))
-            chunks = [pending[i : i + cap]
-                      for i in range(0, len(pending), cap)]
-        for chunk in chunks:
+    # 2) round 1: counters [0, C1) for every message, fully fused
+    C1 = min(8, C)
+    jac, has = _fused_round(crh_u8, ed, 0, C1, domain, compat)
+
+    # 3) round 2: remaining counters for the unresolved tail only
+    if C > C1 and not has.all():
+        pending = np.nonzero(~has)[0]
+        cap = min(_pow2ceil(len(pending)), max(32, _pow2ceil(B // 16)))
+        for i in range(0, len(pending), cap):
+            chunk = pending[i : i + cap]
             m = len(chunk)
             idx = (np.concatenate([chunk, np.full(cap - m, chunk[0])])
                    if m < cap else chunk)
-            x, greatest, valid, w, t = _run_candidates(
-                crh_u8[idx], ed, c_lo, nc, domain, compat
+            jac2, has2 = _fused_round(
+                crh_u8[idx], ed, C1, C - C1, domain, compat
             )
-            valid_np = np.asarray(valid).reshape(nc, cap)[:, :m]
-            res = valid_np.any(axis=0)
-            if not res.any():
-                continue
-            first = np.argmax(valid_np, axis=0)
-            cols = np.nonzero(res)[0]
-            lanes = jnp.asarray((first[cols] * cap + cols).astype(np.int32))
-            msgs_res = chunk[cols]
-            sel_x[:, msgs_res] = np.asarray(jnp.take(x, lanes, axis=-1))
-            sel_w[:, msgs_res] = np.asarray(jnp.take(w, lanes, axis=-1))
-            sel_t[:, msgs_res] = np.asarray(jnp.take(t, lanes, axis=-1))
-            sel_g[msgs_res] = np.asarray(jnp.take(greatest, lanes))
-            has[msgs_res] = True
-        pending = pending[~has[pending]]
-        c_lo += nc
-        first_round = False
+            res = chunk[has2[:m]]
+            src = np.nonzero(has2[:m])[0]
+            jac = jax.tree.map(
+                lambda full, part: _np_scatter(full, res, part[..., src]),
+                jac, jac2,
+            )
+            has[res] = True
 
-    # 3) Tonelli-Shanks finish + sign select + cofactor on the winners
-    stage_b = _JITS.get("finish")
-    if stage_b is None:
-        def _stage_b(x, greatest, w, t):
-            y = _tonelli_shanks_finish(t, w)
-            y = _select_greatest(y, greatest)
-            # cofactor multiply (projective scalar mul by the fixed cofactor)
-            pt = dc.g1.from_affine((x, y))
-            return dc.g1.scalar_mul_const(G1_COFACTOR, pt)
+    return jax.tree.map(jnp.asarray, jac), has
 
-        stage_b = _JITS["finish"] = jax.jit(_stage_b)
 
-    return stage_b(jnp.asarray(sel_x), jnp.asarray(sel_g),
-                   jnp.asarray(sel_w), jnp.asarray(sel_t)), has
+def _np_scatter(full, cols, part):
+    full[..., cols] = part
+    return full
 
 
 def hash_to_g1_direct_cip22_batch(domain: bytes, messages, extra_data: bytes = b"",

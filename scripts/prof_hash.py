@@ -39,7 +39,7 @@ def bench(label, fn, iters=3):
         out = fn()
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
-    print(f"{label:34s} {dt*1e3:10.1f} ms")
+    print(f"{label:34s} {dt*1e3:10.1f} ms", flush=True)
     return out, dt
 
 
@@ -50,7 +50,7 @@ def main():
     compat = True
     msgs = [b"block payload %08d" % i for i in range(B)]
     hash_bytes = hash_length(G1_BYTES)
-    print(f"B={B} C={C} lanes={B*C} backend={jax.default_backend()}")
+    print(f"B={B} C={C} lanes={B*C} backend={jax.default_backend()}", flush=True)
 
     words, _ = bench("pack crh msgs (host)",
                      lambda: db.pack_messages(msgs))
