@@ -102,6 +102,45 @@ def batch_verify_grouped_device(sigs_jac, hashes_jac, apks_aff, groups: int):
     return dp.pairing_check_product(p_aff, q_aff)
 
 
+def _interleave(a, b):
+    """Lane-interleave two equal-batch trees: [B],[B] -> [2B]."""
+    return jax.tree.map(
+        lambda x, y: jnp.stack([x, y], axis=-1).reshape(*x.shape[:-1], -1),
+        a,
+        b,
+    )
+
+
+def strict_batch_verify_device(expdigits, sigs_jac, pks_jac, hashes_aff,
+                               groups: int, c: int = 4):
+    """Many strict (rogue-key-defended) batch verifications in ONE device
+    program — the TPU form of running `Batch::verify` per epoch
+    (batch.rs:44-84 via bls-snark-sys batch_verify_strict,
+    signatures.rs:336-404).
+
+    Per group g (one message/epoch, V entries):
+      e(sum_i r_i sig_i, -g2) * e(H_g, sum_i r_i pk_i) == 1
+    with per-entry random exponents r_i. The two random-linear
+    combinations run as Straus grouped MSMs (ops/msm.py — shared Horner
+    doubling at group width), the 2G pairing legs share one batched
+    Miller pass and one final exponentiation.
+
+    expdigits: [nw, G*V] int32 window digits of the random exponents
+               (msm.window_digits, MSB-first, base 2^c);
+    sigs_jac / pks_jac: projective G1/G2 batches [G*V];
+    hashes_aff: G1 affine batch [G] (the per-epoch message hashes).
+    Returns bool [G] — per-epoch results, matching the reference's
+    per-batch result array."""
+    from . import msm as dmsm
+
+    bsig = dmsm.straus_msm_groups(dc.g1, expdigits, sigs_jac, groups, c)
+    bpk = dmsm.straus_msm_groups(dc.g2, expdigits, pks_jac, groups, c)
+    negg2 = jax.tree.map(jnp.asarray, neg_g2_gen_affine(groups))
+    p = _interleave(dc.g1.to_affine(bsig), hashes_aff)
+    q = _interleave(negg2, dc.g2.to_affine(bpk))
+    return verify_pairs_device(p, q)
+
+
 def verify_pairs_device(p_aff, q_aff):
     """Independent 2-pairing checks, fully batched: lanes 2i and 2i+1 form
     check i, e(P_{2i}, Q_{2i}) * e(P_{2i+1}, Q_{2i+1}) == 1. One batched

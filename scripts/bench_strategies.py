@@ -117,14 +117,11 @@ def make_strategies(inp):
 
     @jax.jit
     def per_epoch_batch(expdigits, sig_jac, pk_jac, h_aff):
-        # Straus grouped MSM (ops/msm.py): shared Horner doubling at
-        # epoch width, per-lane multiples tables — the device form of
-        # Batch::verify's PublicKey::batch / Signature::batch MSMs
-        bsig = dmsm.straus_msm_groups(dc.g1, expdigits, sig_jac, B, 4)
-        bpk = dmsm.straus_msm_groups(dc.g2, expdigits, pk_jac, B, 4)
-        p = interleave(dc.g1.to_affine(bsig), h_aff)
-        q = interleave(negg2_B, dc.g2.to_affine(bpk))
-        return jnp.all(dbls.verify_pairs_device(p, q))
+        # the device Batch::verify pipeline: Straus grouped MSMs + one
+        # batched pairing pass, per-epoch results (ops/bls.py)
+        return jnp.all(dbls.strict_batch_verify_device(
+            expdigits, sig_jac, pk_jac, h_aff, B, c=4
+        ))
 
     @jax.jit
     def per_epoch_individual(sig_jac, pk_jac, h_per_val):

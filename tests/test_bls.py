@@ -144,3 +144,53 @@ class TestCache:
         # unchanged set hits the running sum
         agg3 = cache.aggregate(pks[1:5])
         assert agg3 == agg2
+
+
+class TestStrictBatchDevice:
+    def test_matches_host_batch_verify(self):
+        """ops/bls.py strict_batch_verify_device vs the host Batch.verify
+        semantics (batch.rs:44-84): same random exponents -> per-epoch
+        booleans; a planted bad signature flips exactly its epoch."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from celo_bls_snark_tpu.hostmath.params import R
+        from celo_bls_snark_tpu.hostmath import curves as hcurves
+        from celo_bls_snark_tpu.bls import PrivateKey, SIG_DOMAIN
+        from celo_bls_snark_tpu.bls.batch import (
+            byte_count_from_target_batch_size, SECURITY_BOUND,
+        )
+        from celo_bls_snark_tpu.hash_to_curve import composite_hash_to_g1_cip22
+        from celo_bls_snark_tpu.utils.rngs import XorShiftRng
+        from celo_bls_snark_tpu.ops import bls as dbls
+        from celo_bls_snark_tpu.ops import curve as dc
+        from celo_bls_snark_tpu.ops import msm as dmsm
+
+        G, V = 3, 4
+        rng = XorShiftRng(b"strictbatchdev01")
+        h2c = composite_hash_to_g1_cip22()
+        hashes = [h2c.hash(SIG_DOMAIN, b"epoch %d" % g, b"") for g in range(G)]
+        sks = [PrivateKey.generate(rng) for _ in range(G * V)]
+        pks = [sk.to_public().pt for sk in sks]
+        sigs = [
+            hcurves.G1.mul(sks[g * V + i].sk, hashes[g])
+            for g in range(G) for i in range(V)
+        ]
+        # plant a bad signature in epoch 1
+        bad = list(sigs)
+        bad[1 * V + 2] = hcurves.G1.mul(12345, hashes[1])
+
+        exp_size = byte_count_from_target_batch_size(V, SECURITY_BOUND)
+        exps = [rng.gen_u64() | (rng.gen_u64() << 64) for _ in range(G * V)]
+        exps = [e % (1 << (8 * exp_size)) for e in exps]
+        digits = jnp.asarray(dmsm.window_digits(exps, 8 * exp_size, 4))
+        h_aff = dc.g1.to_affine(dc.g1_pack(hashes))
+        pks_jac = dc.g2_pack(pks)
+
+        fn = jax.jit(lambda d, s, p, h: dbls.strict_batch_verify_device(
+            d, s, p, h, G, c=4))
+        ok = np.asarray(fn(digits, dc.g1_pack(sigs), pks_jac, h_aff))
+        assert ok.tolist() == [True] * G
+        ok_bad = np.asarray(fn(digits, dc.g1_pack(bad), pks_jac, h_aff))
+        assert ok_bad.tolist() == [True, False, True]
