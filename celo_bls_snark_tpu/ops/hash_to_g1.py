@@ -343,6 +343,10 @@ def hash_to_g1_device(domain: bytes, messages, extra_data: bytes = b"",
 
     # 3) round 2: remaining counters for the unresolved tail only
     if C > C1 and not has.all():
+        # np.asarray views of device arrays are read-only; the scatter
+        # merge below needs writable copies
+        jac = jax.tree.map(lambda a: np.array(a, copy=True), jac)
+        has = np.array(has, copy=True)
         pending = np.nonzero(~has)[0]
         cap = min(_pow2ceil(len(pending)), max(32, _pow2ceil(B // 16)))
         for i in range(0, len(pending), cap):

@@ -137,31 +137,35 @@ def f12_product(f):
 
 
 def f12_powx(a, e: int, cyclo: bool = False):
-    """a^e for fixed exponent via scan (e > 0). cyclo=True uses
-    Granger-Scott cyclotomic squarings (valid only for unitary `a` — the
-    post-easy-part final-exp chains): 18-wide vs 54-wide fq dispatches."""
+    """a^e for a FIXED exponent (e > 0). cyclo=True uses Granger-Scott
+    cyclotomic squarings (valid only for unitary `a` — the post-easy-part
+    final-exp chains): 18-wide vs 54-wide fq dispatches.
+
+    The exponent is static, so squaring runs between set bits roll into
+    fori_loops and a multiply happens ONLY at set bits — for the BLS
+    parameter X (7 set bits in 64) that is 63 sq + 6 mul instead of the
+    old scan's mul-and-select every bit (63 sq + 63 mul): ~3x fewer field
+    ops per chain, with a graph of a few small loops (compiles fast on
+    both backends)."""
     sq = tw.f12_cyclo_sq if cyclo else tw.f12_sq
-    nb = e.bit_length()
-    if nb <= 2:
-        out = a
-        for b in bin(e)[3:]:
-            out = sq(out)
-            if b == "1":
-                out = tw.f12_mul(out, a)
-        return out
-    bits = jnp.asarray([(e >> (nb - 1 - i)) & 1 for i in range(1, nb)], jnp.uint32)
 
-    def step(res, bit):
-        res = sq(res)
-        res = tw.f12_select(
-            jnp.broadcast_to(bit != 0, jax.tree.leaves(res)[0].shape[1:]),
-            tw.f12_mul(res, a),
-            res,
-        )
-        return res, None
+    def squarings(x, k):
+        if k == 0:
+            return x
+        if k <= 2:
+            for _ in range(k):
+                x = sq(x)
+            return x
+        return jax.lax.fori_loop(0, k, lambda _, v: sq(v), x)
 
-    res, _ = jax.lax.scan(step, a, bits)
-    return res
+    res = a
+    run = 0
+    for b in bin(e)[3:]:
+        run += 1
+        if b == "1":
+            res = tw.f12_mul(squarings(res, run), a)
+            run = 0
+    return squarings(res, run)
 
 
 def final_exponentiation(f):

@@ -79,3 +79,21 @@ def test_composite_device_matches_host_oracle(compat):
         SIG_DOMAIN, msgs, extra, compat=compat
     )
     assert got == expected
+
+
+def test_round2_merge_path():
+    """A batch big enough that some messages always need counters > 8
+    forces the round-2 fused dispatch and the numpy scatter merge
+    (num_counters > C1). Bit-exact vs the host loop."""
+    msgs = [b"round2 merge msg %04d" % i for i in range(512)]
+    host = TryAndIncrementCIP22(DirectHasher(), "g1", True)
+    attempts = [
+        host.hash_with_attempt_cip22(SIG_DOMAIN, m, b"")[1] for m in msgs
+    ]
+    assert max(attempts) >= 8  # round 2 genuinely exercised
+    got = hash_to_g1_direct_cip22_batch(SIG_DOMAIN, msgs, b"",
+                                        num_counters=24)
+    expected = [
+        host.hash_with_attempt_cip22(SIG_DOMAIN, m, b"")[0] for m in msgs
+    ]
+    assert got == expected
