@@ -129,12 +129,17 @@ def straus_msm_groups(curve, digits, pts_jac, groups: int, c: int):
     T = jax.tree.map(lambda *xs: jnp.stack(xs), *table)  # leaves [2^c, n, B]
 
     def gather(d):
-        return jax.tree.map(
-            lambda t: jnp.take_along_axis(
-                t, jnp.broadcast_to(d[None, None, :], (1, *t.shape[1:])), axis=0
-            )[0],
-            T,
-        )
+        # one-hot masked accumulation instead of a gather: TPU gathers
+        # with per-lane indices serialize on the scalar core (measured
+        # 2x SLOWER end-to-end than per-lane double-and-add); 2^c static
+        # masked adds stay on the VPU. Exactly one mask fires per lane.
+        def sel(t):
+            out = jnp.zeros_like(t[0])
+            for m in range(1 << c):
+                out = out + jnp.where(d[None] == m, t[m], 0).astype(t.dtype)
+            return out
+
+        return jax.tree.map(sel, T)
 
     def step(acc, d):
         for _ in range(c):
