@@ -96,7 +96,45 @@ def main():
         "unit": "verifs/s/chip",
         "vs_baseline": round(rate / 1e6, 5),
         "batch": B,
-    }))
+    }), flush=True)
+
+    # --- composite-hasher line: the production sign-path hash (Pedersen
+    # CRH on device, ops/pedersen.py) feeding the same counter scan ------
+    from celo_bls_snark_tpu.hashers.composite import composite_hasher
+    from celo_bls_snark_tpu.ops import pedersen as ped
+
+    h2c_c = TryAndIncrementCIP22(composite_hasher(), "g1", True)
+    hashes_host_c = [h2c_c.hash(SIG_DOMAIN, m, b"") for m in msgs]
+    sigs_c = [hc.G1.mul(sk_sum, h) for h in hashes_host_c]
+    sigs_c_jac = jax.tree.map(jnp.asarray, dc.g1_pack(sigs_c))
+
+    def verify_with_hashing_composite():
+        crh = ped.bh_crh_digests(msgs)
+        crh_u8 = np.frombuffer(b"".join(crh), dtype=np.uint8).reshape(B, 48)
+        hashes_jac, has = hash_to_g1_device(
+            SIG_DOMAIN, msgs, b"", compat=True, num_counters=24,
+            crh_u8=crh_u8,
+        )
+        assert has.all(), "fallback lane in composite bench batch"
+        ok = pair_fn(sigs_c_jac, hashes_jac, apk_aff)
+        return bool(np.asarray(ok)[0])
+
+    ok = verify_with_hashing_composite()
+    if not ok:
+        raise RuntimeError("composite hashing-included verification failed")
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        ok = verify_with_hashing_composite()
+    dt = (time.perf_counter() - t0) / n_iter
+    if not ok:
+        raise RuntimeError("composite hashing-included verification failed")
+    print(json.dumps({
+        "metric": "bls12377_verifications_per_s_hashing_included_composite",
+        "value": round(B / dt, 1),
+        "unit": "verifs/s/chip",
+        "vs_baseline": round(B / dt / 1e6, 5),
+        "batch": B,
+    }), flush=True)
 
 
 if __name__ == "__main__":
