@@ -18,6 +18,20 @@ from celo_bls_snark_tpu.parallel import mesh as pmesh
 from celo_bls_snark_tpu.ops import bls as dbls
 from celo_bls_snark_tpu.ops import curve as dc
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    # By the time the full suite reaches this module it holds hundreds of
+    # live XLA:CPU executables, and the big shard_map NTT compiles here
+    # have aborted nondeterministically inside backend_compile twice at
+    # ~90% of full-suite runs (never in isolation or in pairs). Freeing
+    # the accumulated programs first removes the pressure; the module's
+    # own jit caches (parallel/mesh.py _JIT_CACHE) re-trace on demand.
+    jax.clear_caches()
+    pmesh._JIT_CACHE.clear()
+    pmesh._PW_JIT.clear()
+    yield
+
 random.seed(20240820)
 
 
