@@ -43,7 +43,7 @@ from celo_bls_snark_tpu.ops.hash_to_g1 import hash_to_g1_device
 
 
 def main():
-    B = int(os.environ.get("BENCH_HASH_MESSAGES", "4096"))
+    B = int(os.environ.get("BENCH_HASH_MESSAGES", "16384"))
     n_validators = int(os.environ.get("BENCH_VALIDATORS", "100"))
     rng = XorShiftRng(b"hashbench-seed01")
     sks = [PrivateKey.generate(rng) for _ in range(n_validators)]
