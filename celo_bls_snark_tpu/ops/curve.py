@@ -153,11 +153,15 @@ def make_curve_ops(F, b3_mul):
     def select(c, a, b):
         return tree_select(c, a, b)
 
-    def madd(p1, a2):
+    def madd(p1, a2, canonical_bases=False):
         """COMPLETE MIXED addition (RCB Algorithm 8, a=0): p1 (projective)
         += a2 (affine; (0, 0) encodes infinity). 11M + one select pair for
         the affine-infinity encoding — the Pippenger / fixed-base
-        accumulator step."""
+        accumulator step.
+
+        canonical_bases=True asserts a2's limbs are CANONICAL (host-packed
+        bases are): the infinity test is then a plain all-limbs-zero
+        integer compare instead of a REDC half-mul (~8% of the madd)."""
         X1, Y1, Z1 = p1
         x2, y2 = a2
         m0, m1, m2, m3, m4 = F.mul_many([
@@ -181,6 +185,15 @@ def make_curve_ops(F, b3_mul):
         ])
         out = (F.sub(q1, q0), F.add(q3, q2), F.add(q5, q4))
         # (0, 0) encodes affine infinity: identity on that lane
+        if canonical_bases:
+            import functools
+            import operator
+
+            inf2 = functools.reduce(
+                operator.and_,
+                [jnp.all(l == 0, axis=0) for l in jax.tree.leaves((x2, y2))],
+            )
+            return tree_select(inf2, p1, out)
         inf2x, inf2y = F.is_zero_many([x2, y2])
         return tree_select(inf2x & inf2y, p1, out)
 

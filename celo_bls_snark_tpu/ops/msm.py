@@ -239,7 +239,8 @@ def _pippenger_device(curve, points_aff, perm, lin, lane, valid, c: int, L: int)
         )  # leaves [K, n, L], step t = original local offset K-1-t
 
         def body(a, pt):
-            a2 = curve.madd(a, pt)
+            # bases are host-packed canonical limbs: cheap infinity test
+            a2 = curve.madd(a, pt, canonical_bases=True)
             return a2, a2
 
         totals, partials = jax.lax.scan(body, inf_L, steps)
@@ -387,7 +388,7 @@ def _fixed_base_device(curve, table_aff, digits):
     """digits [W, B] (table-offset encoded); returns projective batch [B]."""
     def step(acc, dg):
         pt = jax.tree.map(lambda t: jnp.take(t, dg, axis=-1), table_aff)
-        return curve.madd(acc, pt), None
+        return curve.madd(acc, pt, canonical_bases=True), None
 
     B = digits.shape[1]
     acc, _ = jax.lax.scan(step, curve.infinity((B,)), digits)
