@@ -141,10 +141,15 @@ def straus_msm_groups(curve, digits, pts_jac, groups: int, c: int):
 
         return jax.tree.map(sel, T)
 
+    # small groups want a narrow fold: with V = B/groups ~ 20 lanes the
+    # default fold_lanes=128 pads each group to 32 and runs 4 recursive-
+    # doubling rounds (~96 add-lanes/group); folding at 4 lanes costs ~28
+    fold = max(2, min(8, 1 << ((B // groups).bit_length() // 2)))
+
     def step(acc, d):
         for _ in range(c):
             acc = curve.double(acc)
-        s = curve.msum_groups(gather(d), groups)
+        s = curve.msum_groups(gather(d), groups, fold_lanes=fold)
         return curve.add(acc, s), None
 
     acc, _ = jax.lax.scan(step, curve.infinity((groups,)), digits)
