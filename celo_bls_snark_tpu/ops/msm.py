@@ -291,10 +291,13 @@ _PIPPENGER_JIT_CACHE = {}
 def _pippenger_jit(curve_key, curve, c, L):
     key = (curve_key, c, L)
     if key not in _PIPPENGER_JIT_CACHE:
-        _PIPPENGER_JIT_CACHE[key] = jax.jit(
+        from ..utils.aotcache import AotJit
+
+        _PIPPENGER_JIT_CACHE[key] = AotJit(
+            f"pip_{curve_key}_c{c}_L{L}",
             lambda pts, perm, lin, lane, valid: _pippenger_device(
                 curve, pts, perm, lin, lane, valid, c, L
-            )
+            ),
         )
     return _PIPPENGER_JIT_CACHE[key]
 
@@ -405,7 +408,10 @@ _FIXED_BASE_JIT_CACHE = {}
 
 def fixed_base_batch_mul(curve, curve_key, table_aff, digits):
     if curve_key not in _FIXED_BASE_JIT_CACHE:
-        _FIXED_BASE_JIT_CACHE[curve_key] = jax.jit(
+        from ..utils.aotcache import AotJit
+
+        _FIXED_BASE_JIT_CACHE[curve_key] = AotJit(
+            f"fb_{curve_key}",
             lambda t, d: _fixed_base_device(curve, t, d)
         )
     fn = _FIXED_BASE_JIT_CACHE[curve_key]

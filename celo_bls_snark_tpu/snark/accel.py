@@ -160,14 +160,22 @@ class DeviceAccel:
         # fresh process (its persistent-cache entry rarely hit), while the
         # split graphs compile fast and cost only ~15 extra dispatches.
         if "split" not in self._h_jit:
+            from ..utils.aotcache import AotJit
+
             f, nttops = self.fops, self.nttops
+            # the two NTT programs dominate the fresh-process compile;
+            # AotJit loads their serialized executables in ~1 s instead
             self._h_jit["split"] = {
                 "from_raw": jax.jit(f.from_raw),
                 "to_raw": jax.jit(f.to_raw),
                 "mul": jax.jit(f.mul),
-                "ntt_f": jax.jit(lambda x, m: nttops.ntt(x, master=m)),
-                "ntt_i": jax.jit(
-                    lambda x, m: nttops.ntt(x, inverse=True, master=m)
+                "ntt_f": AotJit(
+                    f"ntt_f_{self.name}",
+                    lambda x, m: nttops.ntt(x, master=m),
+                ),
+                "ntt_i": AotJit(
+                    f"ntt_i_{self.name}",
+                    lambda x, m: nttops.ntt(x, inverse=True, master=m),
                 ),
                 "combine": jax.jit(
                     lambda ae, be, ce, ti: f.mul(
@@ -179,24 +187,19 @@ class DeviceAccel:
         return self._h_jit["split"]
 
     def prewarm_prove(self, pk, block=False):
-        """Compile ALL of the prover's device programs CONCURRENTLY for a
-        fresh process.
-
-        Cold prove was dominated by sequential per-stage XLA compiles
-        (E2E_RESULTS.md: 759.7 s cold vs 76.1 s warm; the axon backend
-        cannot round-trip TPU executables through the persistent cache).
-        Compiles release the GIL and the backend compiles distinct
-        programs in parallel (measured: 3 programs threaded ~= 1 program
-        wall-clock), so launching every prover program shape up front —
-        the two d-point NTT graphs and each distinct Pippenger
-        (curve, c, L, B) — turns sum(compile) into ~max(compile), and
-        overlaps it all with the Python witness-synthesis pass.
+        """Build ALL of the prover's device programs in a background
+        thread for a fresh process.
 
         Shapes are derived from the proving key alone (d = len(h_query)+1,
-        MSM widths = query lengths), so this can start before the circuit
-        is synthesized. With block=False returns the started threads;
-        join them (or just let the first real stage call hit the warm jit
-        cache) later."""
+        MSM widths = query lengths), so this starts before the circuit is
+        synthesized and overlaps the Python witness pass. The programs go
+        through utils/aotcache.py: the first-ever process compiles and
+        serializes each executable; every later process deserializes in
+        ~1 s instead of minutes of XLA compile (the axon persistent
+        compilation cache cannot round-trip TPU executables; measured
+        r4: threading the compiles does NOT parallelize them — big
+        compiles serialize — hence one worker thread, whose real win is
+        populating/loading the AOT cache early)."""
         import threading
 
         from ..ops import msm as dmsm
@@ -243,13 +246,23 @@ class DeviceAccel:
             jobs.append(
                 lambda fn=fn, args=args: jax.block_until_ready(fn(*args))
             )
-        threads = [threading.Thread(target=j, daemon=True) for j in jobs]
-        for t in threads:
-            t.start()
+        # ONE worker thread running the jobs serially: measured on the
+        # axon backend, concurrent big compiles serialize anyway (and
+        # contend); the win here is (a) overlapping the compile/AOT-load
+        # chain with the Python witness-synthesis pass and (b) populating
+        # the utils/aotcache.py executable cache for later processes.
+        def run_all():
+            for j in jobs:
+                try:
+                    j()
+                except Exception:
+                    pass  # prewarm is best-effort; the real call reports
+
+        t = threading.Thread(target=run_all, daemon=True)
+        t.start()
         if block:
-            for t in threads:
-                t.join()
-        return threads
+            t.join()
+        return [t]
 
     def set_mesh(self, mesh):
         """Route the prover's MSM and h-poly NTT stages through the

@@ -1,0 +1,114 @@
+"""Disk cache of serialized XLA executables for the TPU's big programs.
+
+The axon backend cannot round-trip TPU executables through jax's
+persistent compilation cache (round-3 finding; fresh processes paid
+~10 min of XLA compiles before every first prove), but
+jax.experimental.serialize_executable DOES round-trip across processes
+(measured: ~1 s to deserialize+run in a fresh process vs minutes of
+compile). AotJit wraps a jittable function with a shape-specialized
+executable cache on disk:
+
+  - first call in the fleet: lower+compile, serialize to
+    .aot_cache/<tag>-<digest>.aot (atomic rename; concurrent writers
+    race benignly);
+  - first call in a later process: deserialize_and_load, skipping the
+    compile entirely.
+
+Cache keys include the argument shapes/dtypes, a fingerprint of the
+whole package source, the jax version and the device kind — any kernel
+change or platform change invalidates the entry (stale executables must
+never load: they would silently compute with old code).
+
+CPU backend passes straight through to plain jit: XLA:CPU executable
+(de)serialization is the component whose crashes are documented in
+tests/conftest.py.
+"""
+
+import hashlib
+import os
+import pickle
+
+import jax
+
+CACHE_DIR = os.environ.get("CELO_AOT_CACHE", "/root/repo/.aot_cache")
+
+_FINGERPRINT = None
+
+
+def _fingerprint() -> str:
+    """Package source + jax version + device kind, hashed."""
+    global _FINGERPRINT
+    if _FINGERPRINT is None:
+        h = hashlib.blake2s(digest_size=10)
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for root, dirs, files in sorted(os.walk(pkg)):
+            dirs.sort()
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    with open(os.path.join(root, fn), "rb") as f:
+                        h.update(f.read())
+        h.update(jax.__version__.encode())
+        try:
+            h.update(jax.devices()[0].device_kind.encode())
+        except Exception:
+            pass
+        _FINGERPRINT = h.hexdigest()
+    return _FINGERPRINT
+
+
+def _arg_key(args):
+    def leaf(a):
+        return (tuple(getattr(a, "shape", ())), str(getattr(a, "dtype", type(a))))
+
+    return repr(jax.tree.map(leaf, args))
+
+
+class AotJit:
+    """jax.jit with a cross-process executable cache (TPU backends)."""
+
+    def __init__(self, tag: str, fn):
+        self.tag = tag
+        self._jit = jax.jit(fn)
+        self._mem = {}
+
+    def __call__(self, *args):
+        if jax.default_backend() == "cpu":
+            return self._jit(*args)
+        key = _arg_key(args)
+        ex = self._mem.get(key)
+        if ex is None:
+            digest = hashlib.blake2s(
+                (key + _fingerprint()).encode(), digest_size=12
+            ).hexdigest()
+            path = os.path.join(CACHE_DIR, f"{self.tag}-{digest}.aot")
+            ex = self._load(path)
+            if ex is None:
+                ex = self._compile_and_store(path, args)
+            self._mem[key] = ex
+        return ex(*args)
+
+    def _load(self, path):
+        from jax.experimental import serialize_executable as se
+
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path, "rb") as f:
+                ser, in_tree, out_tree = pickle.load(f)
+            return se.deserialize_and_load(ser, in_tree, out_tree)
+        except Exception:
+            return None  # corrupt/incompatible entry: recompile below
+
+    def _compile_and_store(self, path, args):
+        from jax.experimental import serialize_executable as se
+
+        comp = self._jit.lower(*args).compile()
+        try:
+            os.makedirs(CACHE_DIR, exist_ok=True)
+            tmp = f"{path}.tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                pickle.dump(se.serialize(comp), f)
+            os.replace(tmp, path)
+        except Exception:
+            pass  # cache write is best-effort
+        return comp
