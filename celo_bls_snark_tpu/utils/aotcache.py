@@ -77,10 +77,9 @@ class AotJit:
         key = _arg_key(args)
         ex = self._mem.get(key)
         if ex is None:
-            digest = hashlib.blake2s(
-                (key + _fingerprint()).encode(), digest_size=12
-            ).hexdigest()
-            path = os.path.join(CACHE_DIR, f"{self.tag}-{digest}.aot")
+            fp = _fingerprint()
+            digest = hashlib.blake2s(key.encode(), digest_size=10).hexdigest()
+            path = os.path.join(CACHE_DIR, f"{self.tag}-{fp}-{digest}.aot")
             ex = self._load(path)
             if ex is None:
                 ex = self._compile_and_store(path, args)
@@ -105,6 +104,15 @@ class AotJit:
         comp = self._jit.lower(*args).compile()
         try:
             os.makedirs(CACHE_DIR, exist_ok=True)
+            # GC: entries for this tag written under a different source
+            # fingerprint can never load again
+            fp = _fingerprint()
+            for fn in os.listdir(CACHE_DIR):
+                if fn.startswith(self.tag + "-") and fp not in fn:
+                    try:
+                        os.remove(os.path.join(CACHE_DIR, fn))
+                    except OSError:
+                        pass
             tmp = f"{path}.tmp{os.getpid()}"
             with open(tmp, "wb") as f:
                 pickle.dump(se.serialize(comp), f)
