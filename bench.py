@@ -93,9 +93,10 @@ def build_inputs(n_messages, n_validators, seed=b"benchseedbenchsee"):
 
 
 def main():
-    # 131072: the pairing/final-exp tail amortizes with batch — measured
-    # 3.04M verifs/s at 32768 vs 8.81M at 131072 on one v5e chip
-    n_messages = int(os.environ.get("BENCH_MESSAGES", "131072"))
+    # the pairing/final-exp tail amortizes with batch — measured on one
+    # v5e chip: 3.04M verifs/s at 2^15, 8.81M at 2^17, 12.28M at 2^18,
+    # 15.04M at 2^19
+    n_messages = int(os.environ.get("BENCH_MESSAGES", "524288"))
     n_validators = int(os.environ.get("BENCH_VALIDATORS", "100"))
 
     sigs_jac, hashes_jac, apk_aff = build_inputs(n_messages, n_validators)
