@@ -288,13 +288,24 @@ def _pippenger_device(curve, points_aff, perm, lin, lane, valid, c: int, L: int)
 _PIPPENGER_JIT_CACHE = {}
 
 
+def _stable_curve_name(curve) -> str:
+    """Process-independent curve tag for the AOT executable cache (an
+    id()-based tag would never hit across processes)."""
+    for name in ("g1", "g2", "bw6_g1", "bw6_g2"):
+        if getattr(dc, name, None) is curve:
+            return name
+    # unknown curve: fall back to the id-based key — never hits across
+    # processes but never loads another curve's executable either
+    return f"curve{id(curve)}"
+
+
 def _pippenger_jit(curve_key, curve, c, L):
     key = (curve_key, c, L)
     if key not in _PIPPENGER_JIT_CACHE:
         from ..utils.aotcache import AotJit
 
         _PIPPENGER_JIT_CACHE[key] = AotJit(
-            f"pip_{curve_key}_c{c}_L{L}",
+            f"pip_{_stable_curve_name(curve)}_c{c}_L{L}",
             lambda pts, perm, lin, lane, valid: _pippenger_device(
                 curve, pts, perm, lin, lane, valid, c, L
             ),
