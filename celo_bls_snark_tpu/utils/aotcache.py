@@ -22,6 +22,12 @@ never load: they would silently compute with old code).
 CPU backend passes straight through to plain jit: XLA:CPU executable
 (de)serialization is the component whose crashes are documented in
 tests/conftest.py.
+
+Security note: entries are pickles and are only ever produced and
+consumed by the local machine (.aot_cache/ is gitignored and must never
+be committed or distributed — loading a foreign pickle would execute
+arbitrary code). The fingerprint key means any source edit orphans old
+entries; _compile_and_store garbage-collects those local artifacts.
 """
 
 import hashlib
