@@ -546,14 +546,21 @@ def make_field_ops(spec: FieldSpec):
             jnp.all(z == 0, axis=0) | jnp.all(z == pl_, axis=0) for z in outs
         ]
 
-    def to_canonical(a):
-        """Full reduction to [0, p): canon2p then one conditional subtract.
-        Boundary op (serialization / host export)."""
-        z = canon2p(a).astype(jnp.uint32)
+    def reduce_2p(a):
+        """Canonical-limb value < 2p (a mul/from_raw output) -> [0, p):
+        one conditional subtract. Needed wherever EXACT zero limbs carry
+        meaning (the affine-infinity (0,0) encoding: from_raw of a zero
+        coordinate may come back as p, whose limbs are nonzero)."""
+        z = a.astype(jnp.uint32)
         diff, borrow = _sub_limbs_u32(
             z, jnp.broadcast_to(jnp.asarray(p_np)[:, None], z.shape)
         )
         return jnp.where((borrow != 0)[None], z, diff).astype(jnp.int32)
+
+    def to_canonical(a):
+        """Full reduction to [0, p): canon2p then one conditional subtract.
+        Boundary op (serialization / host export)."""
+        return reduce_2p(canon2p(a).astype(jnp.uint32))
 
     # --- raw (non-Montgomery) boundary: numpy-fast bulk I/O ---------------
     _r2_raw = int_to_limbs(spec.mont_r2, n)
@@ -567,11 +574,7 @@ def make_field_ops(spec: FieldSpec):
     def to_raw(a):
         """Montgomery (lazy ok) -> RAW canonical limbs in [0, p):
         REDC(v*R) = v (half a multiply), then one conditional subtract."""
-        z = redc_many([a])[0].astype(jnp.uint32)
-        diff, borrow = _sub_limbs_u32(
-            z, jnp.broadcast_to(jnp.asarray(p_np)[:, None], z.shape)
-        )
-        return jnp.where((borrow != 0)[None], z, diff).astype(jnp.int32)
+        return reduce_2p(redc_many([a])[0])
 
     def pow_const(a, e: int):
         """a^e for a fixed python-int exponent.
@@ -645,6 +648,7 @@ def make_field_ops(spec: FieldSpec):
     ops.eq = eq
     ops.select = select
     ops.canon2p = canon2p
+    ops.reduce_2p = reduce_2p
     ops.to_canonical = to_canonical
     ops.from_raw = from_raw
     ops.to_raw = to_raw
@@ -660,3 +664,10 @@ def make_field_ops(spec: FieldSpec):
 fq = make_field_ops(FQ)
 fr = make_field_ops(FR)
 fq761 = make_field_ops(FQ761)
+
+_OPS_BY_SPEC = {FQ.name: fq, FR.name: fr, FQ761.name: fq761}
+
+
+def ops_for(spec: FieldSpec):
+    """Field-op namespace for one of the module's FieldSpec singletons."""
+    return _OPS_BY_SPEC[spec.name]

@@ -78,26 +78,86 @@ def msm_g2(bits, pts_jac):
 # Straus grouped MSM (many small MSMs sharing the Horner doubling)
 # ---------------------------------------------------------------------------
 
-def window_digits(scalars, nbits: int, c: int):
-    """[nw, B] int32 window digits, MSB-first (nw = ceil(nbits/c))."""
-    B = len(scalars)
+class RawScalarVec:
+    """B scalars carried as a canonical RAW (non-Montgomery) limb matrix
+    [n, B] of 16-bit limbs — the zero-marshaling scalar representation
+    between a device NTT output (field.to_raw) and MSM planning. Values
+    MUST be canonical (< modulus); digit extraction reads the limb bytes
+    directly, so nothing is ever converted to a python int."""
+
+    def __init__(self, limbs, spec):
+        self.limbs = np.asarray(limbs)
+        self.spec = spec
+
+    def __len__(self):
+        return int(self.limbs.shape[-1])
+
+    def __iter__(self):
+        return iter(self.to_ints())
+
+    def __eq__(self, other):
+        if isinstance(other, RawScalarVec):
+            other = other.to_ints()
+        return self.to_ints() == other
+
+    def byte_matrix(self, nb: int) -> np.ndarray:
+        """[B, nb] uint8 little-endian bytes (zero-padded columns)."""
+        a8 = (
+            self.limbs.astype(np.uint16)
+            .astype("<u2")
+            .T.copy()
+            .view(np.uint8)
+        )
+        if a8.shape[1] < nb:
+            a8 = np.pad(a8, ((0, 0), (0, nb - a8.shape[1])))
+        return a8[:, :nb]
+
+    def to_ints(self) -> list:
+        return self.spec.unpack_raw(self.limbs)
+
+
+def _scalar_byte_matrix(scalars, nbits: int, pad_to=None) -> np.ndarray:
+    """Scalars (python ints or RawScalarVec) -> [B, nb] uint8 LE byte
+    matrix with nb = ceil(nbits/8) + 4 trailing zero bytes, so any
+    window of c <= 24 bits can be read as one unaligned uint32."""
+    nb = (nbits + 7) // 8 + 4
+    B0 = len(scalars)
+    B = pad_to or B0
+    if isinstance(scalars, RawScalarVec):
+        a8 = scalars.byte_matrix(nb)
+    else:
+        buf = b"".join(int(s).to_bytes(nb, "little") for s in scalars)
+        a8 = np.frombuffer(buf, dtype=np.uint8).reshape(B0, nb)
+    if B > B0:
+        a8 = np.pad(a8, ((0, B - B0), (0, 0)))
+    return a8
+
+
+def _window_matrix(a8: np.ndarray, nbits: int, c: int) -> np.ndarray:
+    """[W, B] int64 window digits from a byte matrix, LSB-first window
+    order (row w = bits [c*w, c*w+c)), fully vectorized for any c <= 24."""
+    B, nb = a8.shape
     W = -(-nbits // c)
     mask = (1 << c) - 1
-    if c == 8:
-        buf = b"".join(int(s).to_bytes(W, "little") for s in scalars)
-        return (
-            np.frombuffer(buf, dtype=np.uint8)
-            .reshape(B, W)
-            .T[::-1]
-            .astype(np.int32)
-            .copy()
+    a32 = a8.astype(np.uint32)
+    out = np.empty((W, B), dtype=np.int64)
+    for w in range(W):
+        bit = c * w
+        i0 = bit >> 3
+        v = (
+            a32[:, i0]
+            | (a32[:, i0 + 1] << 8)
+            | (a32[:, i0 + 2] << 16)
+            | (a32[:, i0 + 3] << 24)
         )
-    digits = np.zeros((W, B), dtype=np.int32)
-    for i, s in enumerate(scalars):
-        s = int(s)
-        for w in range(W):
-            digits[W - 1 - w, i] = (s >> (c * w)) & mask
-    return digits
+        out[w] = (v >> (bit & 7)) & mask
+    return out
+
+
+def window_digits(scalars, nbits: int, c: int):
+    """[nw, B] int32 window digits, MSB-first (nw = ceil(nbits/c))."""
+    a8 = _scalar_byte_matrix(scalars, nbits)
+    return _window_matrix(a8, nbits, c)[::-1].astype(np.int32).copy()
 
 
 def straus_msm_groups(curve, digits, pts_jac, groups: int, c: int):
@@ -174,23 +234,20 @@ def _auto_c(B: int, nbits: int = 253) -> int:
 def plan_msm(scalars, nbits: int, c: int, L: int, fast_digits: bool = True):
     """Host-side window planning. Returns numpy arrays:
     perm [W, B], lin [W, 2^c-1], lane [W, 2^c-1], valid [W, 2^c-1]
-    (B = len(scalars) padded to a multiple of L; pad scalars are 0)."""
+    (B = len(scalars) padded to a multiple of L; pad scalars are 0).
+    `scalars` is a list of python ints or a RawScalarVec (device NTT
+    output — digits come straight off the limb bytes)."""
     B0 = len(scalars)
     B = B0 + ((-B0) % L)
     K = B // L
     W = -(-nbits // c)
     mask = (1 << c) - 1
-    sc = scalars + [0] * (B - B0)
-    if c == 16 and fast_digits:
-        # fast path: windows ARE the 16-bit little-endian limbs
-        buf = b"".join(int(s).to_bytes(W * 2, "little") for s in sc)
-        digits = (
-            np.frombuffer(buf, dtype="<u2")
-            .reshape(B, W)
-            .T[::-1]
-            .astype(np.int64)
-        )
+    if fast_digits:
+        # vectorized for every c: one byte matrix + W unaligned u32 reads
+        a8 = _scalar_byte_matrix(scalars, nbits, pad_to=B)
+        digits = _window_matrix(a8, nbits, c)[::-1]
     else:
+        sc = list(scalars) + [0] * (B - B0)
         digits = np.zeros((W, B), dtype=np.int64)
         for i, s in enumerate(sc):
             s = int(s)
@@ -340,23 +397,29 @@ def msm_pippenger(points, scalars, curve=None, spec=None, nbits=None,
         # target ~16-32 scan steps (K = B/L): wide lanes keep the bucket
         # accumulation VPU-bound instead of loop-overhead-bound
         L = cfg.msm_lanes or (1 << max(3, min(15, B0.bit_length() - 5)))
-    from ..utils.profiling import stage
+    from ..utils.profiling import stage, device_sync
 
     with stage("msm.plan"):
-        perm, lin, lane, valid, B = plan_msm(list(scalars), nbits, c, L)
+        sc = scalars if isinstance(scalars, RawScalarVec) else list(scalars)
+        perm, lin, lane, valid, B = plan_msm(sc, nbits, c, L)
     full_key = (cache_key, B0, B) if cache_key is not None else None
     pts_aff = _BASE_PACK_CACHE.get(full_key) if full_key else None
     if pts_aff is None:
         with stage("msm.pack_bases"):
-            pts = list(points) + [None] * (B - B0)
-            pts_aff = pack_fn(pts) if pack_fn else dc.pack_affine(spec, pts)
+            if isinstance(points, dc.PointVec):
+                # raw uint16 straight to device + one from_raw multiply —
+                # no host Montgomery mulmods, half the H2D bytes
+                pts_aff = points.device_montgomery(B)
+            else:
+                pts = list(points) + [None] * (B - B0)
+                pts_aff = pack_fn(pts) if pack_fn else dc.pack_affine(spec, pts)
         if full_key is not None and cfg.msm_cache_bases:
             pts_aff = jax.tree.map(jnp.asarray, pts_aff)
             _BASE_PACK_CACHE[full_key] = pts_aff
     fn = _pippenger_jit(id(curve), curve, c, L)
     with stage("msm.device"):
         out = fn(pts_aff, perm, lin, lane, valid)
-        jax.block_until_ready(out)
+        device_sync(out)  # axon block_until_ready returns early
     if unpack_fn is not None:
         return unpack_fn(out)[0]
     return dc.unpack_jac(curve, spec, out)[0]
@@ -369,21 +432,9 @@ def msm_pippenger(points, scalars, curve=None, spec=None, nbits=None,
 def fixed_base_plan(scalars, nbits: int, c: int):
     """digits [W, B] int32: digits[w, i] = window w (LSB-first) of scalar i,
     offset into the window table (idx = w*2^c + digit)."""
-    B = len(scalars)
     W = -(-nbits // c)
-    mask = (1 << c) - 1
-    if c in (8, 16):
-        # windows ARE the little-endian bytes / 16-bit limbs (numpy-fast)
-        nb = W * (c // 8)
-        buf = b"".join(int(s).to_bytes(nb, "little") for s in scalars)
-        dt = "<u1" if c == 8 else "<u2"
-        digits = np.frombuffer(buf, dtype=dt).reshape(B, W).T.astype(np.int32)
-    else:
-        digits = np.zeros((W, B), dtype=np.int32)
-        for i, s in enumerate(scalars):
-            s = int(s)
-            for w in range(W):
-                digits[w, i] = (s >> (c * w)) & mask
+    a8 = _scalar_byte_matrix(scalars, nbits)
+    digits = _window_matrix(a8, nbits, c).astype(np.int32)
     return digits + (np.arange(W, dtype=np.int32) << c)[:, None]
 
 

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from ..hostmath import curves as hcurves
 from ..hostmath import bw6 as hbw6
-from ..hostmath.params import R as BLS_R, P as BLS_P
+from ..hostmath import fp2 as hfp2
+from ..hostmath.params import R as BLS_R, P as BLS_P, BW6_P
 from ..ops import curve as dc
 from ..ops import msm as dmsm
 from ..ops import ntt as dntt
@@ -48,7 +49,8 @@ class _Group:
     """One group's device plumbing: curve ops + pack/unpack + fixed-base."""
 
     def __init__(self, key, curve, host_curve, generator, nbits,
-                 pack_fn, unpack_fn, spec=None, owner=None):
+                 pack_fn, unpack_fn, spec=None, owner=None,
+                 fops=None, host_inv=None, template=None):
         self.key = key
         self.curve = curve
         self.host_curve = host_curve
@@ -58,18 +60,22 @@ class _Group:
         self.unpack_fn = unpack_fn
         self.spec = spec
         self.owner = owner  # DeviceAccel (for the configured mesh)
+        self.fops = fops          # coordinate field ops (fq/fq761)
+        self.host_inv = host_inv  # host field inverse for batch inversion
+        self.template = template  # host affine structure, e.g. (0, 0)
         self._table = None
 
     def msm(self, bases, scalars, c=None, L=None, cache_key=None):
         mesh = self.owner.mesh if self.owner is not None else None
         key = (self.key, cache_key) if cache_key is not None else None
+        raw = isinstance(scalars, dmsm.RawScalarVec)
         if mesh is not None and mesh.devices.size > 1 and len(bases) >= 4 * mesh.devices.size:
             from ..parallel import mesh as pmesh
 
             return pmesh.sharded_msm_pippenger(
                 mesh,
                 list(bases),
-                [int(s) for s in scalars],
+                scalars.to_ints() if raw else [int(s) for s in scalars],
                 c=c,
                 L=L,
                 curve=self.curve,
@@ -79,8 +85,8 @@ class _Group:
                 cache_key=key,
             )
         return dmsm.msm_pippenger(
-            list(bases),
-            [int(s) for s in scalars],
+            bases if isinstance(bases, dc.PointVec) else list(bases),
+            scalars if raw else [int(s) for s in scalars],
             curve=self.curve,
             nbits=self.nbits,
             c=c,
@@ -91,8 +97,9 @@ class _Group:
         )
 
     def fixed_base_batch(self, scalars):
-        """[k_i] -> [k_i * generator] (host affine points, None=inf)."""
-        from ..utils.profiling import stage
+        """[k_i] -> [k_i * generator] as a PointVec (acts as a list of
+        host affine points; stays packed for MSM/serialization)."""
+        from ..utils.profiling import stage, device_sync
 
         c = _fixed_c()
         if self._table is None:
@@ -108,9 +115,15 @@ class _Group:
             out = dmsm.fixed_base_batch_mul(
                 self.curve, self.key, self._table, digits
             )
-            jax.block_until_ready(out)
-        with stage(f"fixed_base.unpack.{self.key}"):
-            return self.unpack_fn(out)
+            device_sync(out)
+        with stage(f"fixed_base.affine.{self.key}"):
+            # device batch inversion + raw uint16 fetch — replaces the
+            # round-4 fixed_base.unpack host bigint path (484 s/setup)
+            fn = dc.affine_raw_fn(
+                self.curve, self.fops, self.host_inv, self.template,
+                f"aff_{self.key}",
+            )
+            return fn(out)
 
 
 class DeviceAccel:
@@ -125,10 +138,14 @@ class DeviceAccel:
                 lambda pts: dc.pack_affine(FQ, pts),
                 lambda dev: dc.unpack_jac(dc.g1, FQ, dev),
                 spec=FQ, owner=self,
+                fops=fq, host_inv=lambda t: (pow(t[0], -1, BLS_P),),
+                template=(0, 0),
             )
             self.g2 = _Group(
                 "bls-g2", dc.g2, hcurves.G2, None, 253,
                 _pack_affine_f2, _unpack_jac_f2, owner=self,
+                fops=fq, host_inv=lambda t: hfp2.inv((t[0], t[1])),
+                template=((0, 0), (0, 0)),
             )
             from ..hostmath.params import G1_GENERATOR, G2_GENERATOR
 
@@ -142,12 +159,16 @@ class DeviceAccel:
                 lambda pts: dc.pack_affine(FQ761, pts),
                 lambda dev: dc.unpack_jac(dc.bw6_g1, FQ761, dev),
                 spec=FQ761, owner=self,
+                fops=fq761, host_inv=lambda t: (pow(t[0], -1, BW6_P),),
+                template=(0, 0),
             )
             self.g2 = _Group(
                 "bw6-g2", dc.bw6_g2, hbw6.G2, hbw6.G2_GENERATOR, 377,
                 lambda pts: dc.pack_affine(FQ761, pts),
                 lambda dev: dc.unpack_jac(dc.bw6_g2, FQ761, dev),
                 spec=FQ761, owner=self,
+                fops=fq761, host_inv=lambda t: (pow(t[0], -1, BW6_P),),
+                template=(0, 0),
             )
         else:
             raise ValueError(engine_name)
@@ -167,7 +188,6 @@ class DeviceAccel:
             # AotJit loads their serialized executables in ~1 s instead
             self._h_jit["split"] = {
                 "from_raw": jax.jit(f.from_raw),
-                "to_raw": jax.jit(f.to_raw),
                 "mul": jax.jit(f.mul),
                 "ntt_f": AotJit(
                     f"ntt_f_{self.name}",
@@ -176,6 +196,11 @@ class DeviceAccel:
                 "ntt_i": AotJit(
                     f"ntt_i_{self.name}",
                     lambda x, m: nttops.ntt(x, inverse=True, master=m),
+                ),
+                # final Montgomery-strip with a device-side uint16 cast:
+                # halves the D2H bytes on the ~8-16 MB/s axon tunnel
+                "to_raw16": jax.jit(
+                    lambda x: f.to_raw(x).astype(jnp.uint16)
                 ),
                 "combine": jax.jit(
                     lambda ae, be, ce, ti: f.mul(
@@ -299,8 +324,9 @@ class DeviceAccel:
                     h_raw = pmesh.sharded_compute_h(
                         self.mesh, self.nttops, *raws, d, g
                     )
-                with stage("h_poly.unpack"):
-                    return spec.unpack_raw(h_raw)[: d - 1]
+                from ..ops.msm import RawScalarVec
+
+                return RawScalarVec(np.asarray(h_raw)[..., : d - 1], spec)
         t_c_inv = pow((pow(g, d, r) - 1) % r, -1, r)
         nttops = self.nttops
         J = self._ensure_h_jits()
@@ -318,6 +344,8 @@ class DeviceAccel:
                 jnp.asarray(self.fspec.pack_raw(b_evals)),
                 jnp.asarray(self.fspec.pack_raw(c_evals)),
             )
+        from ..utils.profiling import device_sync
+
         with stage("h_poly.device"):
             evs = []
             for raw in args:
@@ -325,10 +353,16 @@ class DeviceAccel:
                 evs.append(J["ntt_f"](J["mul"](coeffs, sc_g), m_fwd))
             hc_ = J["combine"](*evs, tinv_c)
             h = J["mul"](J["ntt_i"](hc_, m_inv), sc_ginv)
-            out = J["to_raw"](h)
-            jax.block_until_ready(out)
-        with stage("h_poly.unpack"):
-            return self.fspec.unpack_raw(np.asarray(out))[: d - 1]
+            out = J["to_raw16"](h)
+            device_sync(out)
+        with stage("h_poly.fetch"):
+            # RAW canonical uint16 limbs straight into MSM planning —
+            # round-4's h_poly.unpack (53-123 s of host python-int
+            # reconstruction, VERDICT r4 Next #3) no longer exists
+            raw16 = np.asarray(out)
+        from ..ops.msm import RawScalarVec
+
+        return RawScalarVec(raw16[..., : d - 1], self.fspec)
 
 
 _ACCEL_CACHE = {}

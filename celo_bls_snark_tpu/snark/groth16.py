@@ -386,17 +386,21 @@ def create_proof_no_zk(pk: ProvingKey, cs, engine, accel=None, evals=None) -> Pr
         h = _compute_h(cs, engine, accel, evals=evals)
 
     if accel is not None:
+        from ..ops.msm import RawScalarVec
+
         pkid = id(pk)
 
+        def _norm(scalars):
+            # RawScalarVec (device h output) is canonical by construction
+            if isinstance(scalars, RawScalarVec):
+                return scalars
+            return [s % r for s in scalars]
+
         def msm_g1(bases, scalars, which):
-            return accel.g1.msm(
-                bases, [s % r for s in scalars], cache_key=(pkid, which)
-            )
+            return accel.g1.msm(bases, _norm(scalars), cache_key=(pkid, which))
 
         def msm_g2(bases, scalars, which):
-            return accel.g2.msm(
-                bases, [s % r for s in scalars], cache_key=(pkid, which)
-            )
+            return accel.g2.msm(bases, _norm(scalars), cache_key=(pkid, which))
     else:
         def msm_g1(bases, scalars, which):
             return g1.msm([s % r for s in scalars], list(bases))

@@ -15,9 +15,19 @@ executable cache on disk:
     compile entirely.
 
 Cache keys include the argument shapes/dtypes, a fingerprint of the
-whole package source, the jax version and the device kind — any kernel
-change or platform change invalidates the entry (stale executables must
-never load: they would silently compute with old code).
+KERNEL-RELEVANT source (ops/ + parallel/ + snark/accel.py + this file
+— round-5 fix: hashing the whole package meant any docstring edit
+anywhere orphaned every entry, which was the root cause of round 4's
+37% cold-start variance), the jax version and the device kind — any
+kernel change or platform change invalidates the entry (stale
+executables must never load: they would silently compute with old
+code). Every load/compile logs one `[aot] ...` line to stderr so cache
+hit/miss behavior is observable in perf logs (VERDICT r4 Next #2).
+
+A per-instance lock serializes concurrent first calls for the same
+shape: without it the prewarm thread (snark/accel.py prewarm_prove)
+and the prover's main thread both compiled the same program
+back-to-back on the axon compile service.
 
 CPU backend passes straight through to plain jit: XLA:CPU executable
 (de)serialization is the component whose crashes are documented in
@@ -26,13 +36,17 @@ tests/conftest.py.
 Security note: entries are pickles and are only ever produced and
 consumed by the local machine (.aot_cache/ is gitignored and must never
 be committed or distributed — loading a foreign pickle would execute
-arbitrary code). The fingerprint key means any source edit orphans old
-entries; _compile_and_store garbage-collects those local artifacts.
+arbitrary code). The fingerprint key means any kernel-source edit
+orphans old entries; _compile_and_store garbage-collects those local
+artifacts.
 """
 
 import hashlib
 import os
 import pickle
+import sys
+import threading
+import time
 
 import jax
 
@@ -40,19 +54,36 @@ CACHE_DIR = os.environ.get("CELO_AOT_CACHE", "/root/repo/.aot_cache")
 
 _FINGERPRINT = None
 
+# Package paths whose source shapes the compiled device programs. Host
+# protocol logic (bls/, snark/ apart from accel, gadgets/, hashers/,
+# utils/, ffi/, examples) never changes an XLA program and must not
+# invalidate the cache.
+_KERNEL_PATHS = ("ops", "parallel", os.path.join("snark", "accel.py"),
+                 os.path.join("utils", "aotcache.py"))
+
+
+def _log(msg: str) -> None:
+    print(f"[aot] {msg}", file=sys.stderr, flush=True)
+
 
 def _fingerprint() -> str:
-    """Package source + jax version + device kind, hashed."""
+    """Kernel source + jax version + device kind, hashed."""
     global _FINGERPRINT
     if _FINGERPRINT is None:
         h = hashlib.blake2s(digest_size=10)
         pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        for root, dirs, files in sorted(os.walk(pkg)):
-            dirs.sort()
-            for fn in sorted(files):
-                if fn.endswith(".py"):
-                    with open(os.path.join(root, fn), "rb") as f:
-                        h.update(f.read())
+        for rel in _KERNEL_PATHS:
+            path = os.path.join(pkg, rel)
+            if os.path.isfile(path):
+                with open(path, "rb") as f:
+                    h.update(f.read())
+                continue
+            for root, dirs, files in sorted(os.walk(path)):
+                dirs.sort()
+                for fn in sorted(files):
+                    if fn.endswith(".py"):
+                        with open(os.path.join(root, fn), "rb") as f:
+                            h.update(f.read())
         h.update(jax.__version__.encode())
         try:
             h.update(jax.devices()[0].device_kind.encode())
@@ -76,6 +107,7 @@ class AotJit:
         self.tag = tag
         self._jit = jax.jit(fn)
         self._mem = {}
+        self._lock = threading.Lock()
 
     def __call__(self, *args):
         if jax.default_backend() == "cpu":
@@ -83,13 +115,20 @@ class AotJit:
         key = _arg_key(args)
         ex = self._mem.get(key)
         if ex is None:
-            fp = _fingerprint()
-            digest = hashlib.blake2s(key.encode(), digest_size=10).hexdigest()
-            path = os.path.join(CACHE_DIR, f"{self.tag}-{fp}-{digest}.aot")
-            ex = self._load(path)
-            if ex is None:
-                ex = self._compile_and_store(path, args)
-            self._mem[key] = ex
+            with self._lock:
+                ex = self._mem.get(key)  # a concurrent caller may have won
+                if ex is None:
+                    fp = _fingerprint()
+                    digest = hashlib.blake2s(
+                        key.encode(), digest_size=10
+                    ).hexdigest()
+                    path = os.path.join(
+                        CACHE_DIR, f"{self.tag}-{fp}-{digest}.aot"
+                    )
+                    ex = self._load(path)
+                    if ex is None:
+                        ex = self._compile_and_store(path, args)
+                    self._mem[key] = ex
         return ex(*args)
 
     def _load(self, path):
@@ -97,17 +136,24 @@ class AotJit:
 
         if not os.path.exists(path):
             return None
+        t0 = time.perf_counter()
         try:
             with open(path, "rb") as f:
                 ser, in_tree, out_tree = pickle.load(f)
-            return se.deserialize_and_load(ser, in_tree, out_tree)
-        except Exception:
+            ex = se.deserialize_and_load(ser, in_tree, out_tree)
+        except Exception as e:
+            _log(f"LOAD-FAIL {os.path.basename(path)}: {e!r} — recompiling")
             return None  # corrupt/incompatible entry: recompile below
+        _log(f"hit {os.path.basename(path)} ({time.perf_counter() - t0:.1f}s)")
+        return ex
 
     def _compile_and_store(self, path, args):
         from jax.experimental import serialize_executable as se
 
+        t0 = time.perf_counter()
+        _log(f"MISS {os.path.basename(path)} — compiling")
         comp = self._jit.lower(*args).compile()
+        _log(f"compiled {self.tag} ({time.perf_counter() - t0:.1f}s)")
         try:
             os.makedirs(CACHE_DIR, exist_ok=True)
             # GC: entries for this tag written under a different source

@@ -80,6 +80,15 @@ def main():
     # axon persistent cache does not round-trip TPU executables), the
     # second is the warm steady-state a proving service runs at
     repeats = int(os.environ.get("E2E_PROVE_REPEAT", "2"))
+    from celo_bls_snark_tpu.utils.profiling import report, reset
+
+    def dump_stages(header):
+        print(f"--- {header} ---")
+        for name, ent in sorted(report().items()):
+            if "total_s" in ent:
+                print(f"{name:32s} {ent['total_s']:9.2f}s  x{ent['calls']}")
+        reset()
+
     for it in range(repeats):
         t3 = time.perf_counter()
         proof = prove(
@@ -89,6 +98,7 @@ def main():
         t4 = time.perf_counter()
         tag = "cold (incl. compile)" if it == 0 else "warm"
         print(f"prove[{it}] {tag}: {t4-t3:.1f}s")
+        dump_stages(f"stage breakdown prove[{it}]")
 
     ok = verify_parsed(params.epochs.vk, first_epoch, last_epoch, proof)
     bad = verify_parsed(params.epochs.vk, first_epoch, first_epoch, proof)
@@ -96,12 +106,7 @@ def main():
     print(f"verify: {t5-t4:.2f}s ok={ok} tamper-rejected={not bad}")
     assert ok and not bad
 
-    from celo_bls_snark_tpu.utils.profiling import report
-
-    print("--- stage breakdown ---")
-    for name, ent in sorted(report().items()):
-        if "total_s" in ent:
-            print(f"{name:32s} {ent['total_s']:9.2f}s  x{ent['calls']}")
+    dump_stages("stage breakdown (verify + residue)")
     print("E2E PASS")
 
 
