@@ -133,24 +133,28 @@ def _scalar_byte_matrix(scalars, nbits: int, pad_to=None) -> np.ndarray:
     return a8
 
 
-def _window_matrix(a8: np.ndarray, nbits: int, c: int) -> np.ndarray:
-    """[W, B] int64 window digits from a byte matrix, LSB-first window
-    order (row w = bits [c*w, c*w+c)), fully vectorized for any c <= 24."""
+def _window_matrix(a8: np.ndarray, nbits: int, c: int,
+                   dtype=np.int64) -> np.ndarray:
+    """[W, B] window digits from a byte matrix, LSB-first window order
+    (row w = bits [c*w, c*w+c)), fully vectorized for any c <= 24.
+    Transposes the byte matrix once so each window reads 4 CONTIGUOUS
+    rows (column slices of the row-major [B, nb] matrix are strided —
+    measured 10x slower at 2^19)."""
     B, nb = a8.shape
     W = -(-nbits // c)
-    mask = (1 << c) - 1
-    a32 = a8.astype(np.uint32)
-    out = np.empty((W, B), dtype=np.int64)
+    mask = np.uint32((1 << c) - 1)
+    aT = np.ascontiguousarray(a8.T).astype(np.uint32)  # [nb, B]
+    out = np.empty((W, B), dtype=dtype)
     for w in range(W):
         bit = c * w
         i0 = bit >> 3
         v = (
-            a32[:, i0]
-            | (a32[:, i0 + 1] << 8)
-            | (a32[:, i0 + 2] << 16)
-            | (a32[:, i0 + 3] << 24)
+            aT[i0]
+            | (aT[i0 + 1] << 8)
+            | (aT[i0 + 2] << 16)
+            | (aT[i0 + 3] << 24)
         )
-        out[w] = (v >> (bit & 7)) & mask
+        out[w] = (v >> np.uint32(bit & 7)) & mask
     return out
 
 
@@ -243,9 +247,12 @@ def plan_msm(scalars, nbits: int, c: int, L: int, fast_digits: bool = True):
     W = -(-nbits // c)
     mask = (1 << c) - 1
     if fast_digits:
-        # vectorized for every c: one byte matrix + W unaligned u32 reads
+        # vectorized for every c: one byte matrix + W unaligned u32 reads;
+        # uint16 digits make numpy's stable argsort a RADIX sort (~7x
+        # faster than int64 mergesort at 2^19)
         a8 = _scalar_byte_matrix(scalars, nbits, pad_to=B)
-        digits = _window_matrix(a8, nbits, c)[::-1]
+        dt = np.uint16 if c <= 16 else np.int64
+        digits = _window_matrix(a8, nbits, c, dtype=dt)[::-1]
     else:
         sc = list(scalars) + [0] * (B - B0)
         digits = np.zeros((W, B), dtype=np.int64)
@@ -253,12 +260,15 @@ def plan_msm(scalars, nbits: int, c: int, L: int, fast_digits: bool = True):
             s = int(s)
             for w in range(W):
                 digits[W - 1 - w, i] = (s >> (c * w)) & mask
+        if c <= 16:
+            digits = digits.astype(np.uint16)
     perm = np.zeros((W, B), dtype=np.int32)
     lin = np.zeros((W, (1 << c) - 1), dtype=np.int32)
     lane = np.zeros((W, (1 << c) - 1), dtype=np.int32)
     valid = np.zeros((W, (1 << c) - 1), dtype=bool)
     bvals = np.arange(1, 1 << c)
-    for w in range(W):
+
+    def plan_window(w):
         order = np.argsort(digits[w], kind="stable").astype(np.int32)
         ds = digits[w][order]
         pos = np.searchsorted(ds, bvals, side="left")
@@ -270,6 +280,16 @@ def plan_msm(scalars, nbits: int, c: int, L: int, fast_digits: bool = True):
         lin[w] = (K - 1 - off) * L + l
         lane[w] = l
         valid[w] = ok
+
+    if W >= 4 and B >= 1 << 16:
+        # argsort releases the GIL; 4 host cores
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(4) as ex:
+            list(ex.map(plan_window, range(W)))
+    else:
+        for w in range(W):
+            plan_window(w)
     return perm, lin, lane, valid, B
 
 

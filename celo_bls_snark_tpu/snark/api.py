@@ -138,6 +138,22 @@ def trusted_setup(num_validators: int, num_epochs: int, maximum_non_signers: int
     the outer circuit verifies in-circuit (epoch_bits.rs:104-132); the
     helper keys are generated first so the outer circuit embeds the helper
     vk as a constant (setup.rs:87-99)."""
+    from ..utils.config import get_config
+
+    if get_config().ark_parity:
+        # Tested mode boundary (see Config.ark_parity): this build's
+        # circuit is leaner than the deployed Celo constraint system, so
+        # a ceremony/proving key built here is NOT byte-compatible with
+        # deployed Celo. Verify-side interop is exact; prove-side parity
+        # is a deliberate non-goal — fail fast rather than emit keys a
+        # caller might mistake for ceremony-compatible ones.
+        raise NotImplementedError(
+            "ark_parity=True: prove-side byte-parity with the deployed "
+            "Celo circuit (18,702-constraint BLS verify, "
+            "bls-gadgets/src/bls.rs:401) is not implemented; this build "
+            "proves under its own leaner pinned circuit "
+            "(tests/golden_matrices.json). Verify-side interop is exact."
+        )
     accel = helper_accel = None
     if device:
         from .accel import get_accel

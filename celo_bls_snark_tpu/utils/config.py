@@ -30,6 +30,17 @@ class Config:
 
     # --- behavior ----------------------------------------------------------
     compat_sign_bit: int = 377            # hash-to-curve compat y-sign bit
+    # Prove-side arkworks byte-parity mode. This build's circuit is
+    # deliberately leaner than the deployed Celo constraint system
+    # (18,439 constraints per in-circuit BLS verify vs the reference's
+    # 18,702 — crates/bls-gadgets/src/bls.rs:401); proofs made here
+    # verify only under keys set up here. VERIFY-side interop is exact
+    # (the deployed pinned proof verifies: tests/test_snark_verify.py).
+    # Requesting ark_parity=True makes setup/prove FAIL FAST instead of
+    # silently producing keys that are not byte-compatible with a
+    # deployed Celo ceremony. tests/test_ark_parity.py pins both the
+    # divergence numbers and this boundary.
+    ark_parity: bool = False
     profile: bool = False                 # enable utils.profiling stage log
     profile_trace_dir: Optional[str] = None  # jax.profiler trace output
 
@@ -42,7 +53,7 @@ _CONFIG: Optional[Config] = None
 
 _INT_FIELDS = {"msm_window", "msm_lanes", "fixed_base_window",
                "msum_fold_lanes", "compat_sign_bit"}
-_BOOL_FIELDS = {"profile", "msm_cache_bases"}
+_BOOL_FIELDS = {"profile", "msm_cache_bases", "ark_parity"}
 
 
 def _from_env(base: Config) -> Config:
