@@ -101,9 +101,10 @@ def main():
 
     sigs_jac, hashes_jac, apk_aff = build_inputs(n_messages, n_validators)
 
-    fn = jax.jit(
-        lambda s, h, pk: dbls.batch_verify_grouped_device(s, h, pk, groups=1)
-    )
+    def fn(s, h, pk):
+        # AOT executable cache: a fresh process loads the compiled
+        # pairing program in ~1s instead of minutes of XLA compile
+        return dbls.batch_verify_grouped_aot(s, h, pk, 1)
     # warmup + correctness (np.asarray forces real sync through the tunnel;
     # block_until_ready does not on the axon platform)
     ok = bool(np.asarray(fn(sigs_jac, hashes_jac, apk_aff))[0])

@@ -102,6 +102,83 @@ def batch_verify_grouped_device(sigs_jac, hashes_jac, apks_aff, groups: int):
     return dp.pairing_check_product(p_aff, q_aff)
 
 
+_GROUPED_AOT = {}
+
+
+def batch_verify_grouped_aot(sigs_jac, hashes_jac, apks_aff, groups: int):
+    """batch_verify_grouped_device through the cross-process AOT
+    executable cache — the pairing program is minutes of XLA compile on
+    the axon service per fresh process otherwise (bench.py, the smoke
+    suite and the hash-verify bench all dispatch this exact program)."""
+    fn = _GROUPED_AOT.get(groups)
+    if fn is None:
+        from ..utils.aotcache import AotJit
+
+        fn = _GROUPED_AOT[groups] = AotJit(
+            f"bls_grouped_{groups}",
+            lambda s, h, pk: batch_verify_grouped_device(s, h, pk, groups),
+        )
+    return fn(sigs_jac, hashes_jac, apks_aff)
+
+
+def batch_verify_messages_device(sigs_jac, apks_aff, domain, messages,
+                                 extra_data=b"", groups: int = 1,
+                                 composite: bool = False,
+                                 num_counters: int = 24,
+                                 compat: bool = True):
+    """The reference's `Signature::batch_verify` INCLUDING message hashing
+    (signature.rs:101-117) as one device pipeline: batched CIP22
+    try-and-increment hash-to-G1 (ops/hash_to_g1.py; Pedersen CRH when
+    `composite`) feeding the grouped (G+1)-pairing check. The rare
+    no-valid-counter lanes (prob ~0.58^num_counters) fall back to the
+    host hasher and are merged on device.
+
+    sigs_jac: G1 projective [len(messages)]; apks_aff: G2 affine
+    [groups]; messages: equal-length byte strings, group g owning the
+    contiguous lanes [g*B, (g+1)*B). extra_data: shared bytes or a
+    per-message list. Returns a boolean array of shape [1]."""
+    from .hash_to_g1 import hash_to_g1_device
+
+    if composite:
+        from . import pedersen as ped
+
+        crh = ped.bh_crh_digests(messages)
+        crh_u8 = np.frombuffer(b"".join(crh), dtype=np.uint8).reshape(
+            len(messages), -1
+        )
+    else:
+        crh_u8 = None
+    hashes_jac, has = hash_to_g1_device(
+        domain, messages, extra_data, compat=compat,
+        num_counters=num_counters, crh_u8=crh_u8,
+    )
+    if not has.all():
+        from ..hash_to_curve.try_and_increment_cip22 import (
+            TryAndIncrementCIP22,
+        )
+
+        if composite:
+            from ..hashers.composite import composite_hasher
+
+            h2c = TryAndIncrementCIP22(composite_hasher(), "g1", compat)
+        else:
+            from ..hashers.direct import DirectHasher
+
+            h2c = TryAndIncrementCIP22(DirectHasher(), "g1", compat)
+        idx = np.nonzero(~has)[0]
+        pts = []
+        for i in idx:
+            e = extra_data if isinstance(extra_data, bytes) else extra_data[i]
+            pt, _ = h2c.hash_with_attempt_cip22(domain, messages[i], e)
+            pts.append(pt)
+        patch = jax.tree.map(jnp.asarray, dc.g1_pack(pts))
+        hashes_jac = jax.tree.map(
+            lambda full, part: full.at[..., jnp.asarray(idx)].set(part),
+            hashes_jac, patch,
+        )
+    return batch_verify_grouped_aot(sigs_jac, hashes_jac, apks_aff, groups)
+
+
 def _interleave(a, b):
     """Lane-interleave two equal-batch trees: [B],[B] -> [2B]."""
     return jax.tree.map(

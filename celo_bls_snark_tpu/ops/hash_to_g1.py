@@ -29,6 +29,8 @@ Bit-exactness oracle: hash_to_curve/try_and_increment_cip22.py with the
 DirectHasher (tests/test_ops_hash_to_g1.py).
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -246,15 +248,19 @@ def _fused_round(crh_u8, ed, c_lo: int, nc: int, domain: bytes,
 
     hash_bytes = hash_length(G1_BYTES)  # 64
     m, crh_len = crh_u8.shape
-    msg_len = 1 + len(ed) + crh_len
+    edlen = ed.shape[-1]
+    msg_len = 1 + edlen + crh_len
     nblocks = max(1, (msg_len + 63) // 64)
     buf = np.zeros((nc * m, nblocks * 64), dtype=np.uint8)
     buf[:, 0] = np.repeat(
         np.arange(c_lo, c_lo + nc, dtype=np.uint16).astype(np.uint8), m
     )
-    if len(ed):
-        buf[:, 1 : 1 + len(ed)] = ed
-    buf[:, 1 + len(ed) : msg_len] = np.tile(crh_u8, (nc, 1))
+    if edlen:
+        # ed: [edlen] (shared) or [m, edlen] (per-message extra_data)
+        buf[:, 1 : 1 + edlen] = (
+            np.tile(ed, (nc, 1)) if ed.ndim == 2 else ed
+        )
+    buf[:, 1 + edlen : msg_len] = np.tile(crh_u8, (nc, 1))
     xof_words = jnp.asarray(buf.view("<u4").T.copy())  # [(16*nblk), nc*m]
 
     key = ("fused_round", msg_len, domain, compat, nc, m)
@@ -277,9 +283,17 @@ def _fused_round(crh_u8, ed, c_lo: int, nc: int, domain: bytes,
             pt = dc.g1.from_affine((xs, y))
             return dc.g1.scalar_mul_const(G1_COFACTOR, pt), has
 
-        fn = _JITS[key] = jax.jit(_fn)
+        from ..utils.aotcache import AotJit
+
+        fn = _JITS[key] = AotJit(
+            f"h2g_round_{msg_len}_{domain.hex()}_{int(compat)}_{nc}_{m}",
+            _fn,
+        )
     jac, has = fn(xof_words)
-    return jax.tree.map(np.asarray, jac), np.asarray(has)
+    # jac stays DEVICE-resident (round-4 fetched it to numpy here: a
+    # D2H+H2D round-trip of the full point batch per call on a
+    # ~10 MB/s tunnel); only the 1-byte-per-message mask crosses.
+    return jac, np.asarray(has)
 
 
 def hash_to_g1_device(domain: bytes, messages, extra_data: bytes = b"",
@@ -310,7 +324,14 @@ def hash_to_g1_device(domain: bytes, messages, extra_data: bytes = b"",
     B = len(messages)
     C = num_counters
     n = FQ.n
-    ed = np.frombuffer(extra_data, dtype=np.uint8)
+    if isinstance(extra_data, (bytes, bytearray)):
+        ed = np.frombuffer(bytes(extra_data), dtype=np.uint8)
+    else:
+        # per-message extra_data: list of B equal-length byte strings
+        assert len(extra_data) == B
+        ed = np.frombuffer(b"".join(extra_data), dtype=np.uint8).reshape(
+            B, -1
+        )
 
     # 1) device CRH per message (DirectHasher Blake2s unless the caller
     #    supplied precomputed inner hashes)
@@ -322,12 +343,15 @@ def hash_to_g1_device(domain: bytes, messages, extra_data: bytes = b"",
         key = ("crh", len(messages[0]), domain)
         fn = _JITS.get(key)
         if fn is None:
+            from ..utils.aotcache import AotJit
+
             mlen = len(messages[0])
-            fn = _JITS[key] = jax.jit(
+            fn = _JITS[key] = AotJit(
+                f"h2g_crh_{mlen}_{domain.hex()}",
                 lambda wds: db.blake2s_batch(
                     wds, mlen, digest_size=32,
                     node_offset=db._xof_node_offset(hash_bytes), person=domain,
-                )
+                ),
             )
         crh_np = np.asarray(fn(words))  # [8, B]
         crh_u8 = (
@@ -338,39 +362,52 @@ def hash_to_g1_device(domain: bytes, messages, extra_data: bytes = b"",
         assert crh_u8.shape[0] == B
 
     # 2) round 1: counters [0, C1) for every message, fully fused
-    C1 = min(8, C)
-    jac, has = _fused_round(crh_u8, ed, 0, C1, domain, compat)
+    from ..utils.profiling import stage
 
-    # 3) round 2: remaining counters for the unresolved tail only
+    C1 = min(int(os.environ.get("CELO_H2G_ROUND1", "8")), C)
+    with stage("h2g.round1"):
+        jac, has = _fused_round(crh_u8, ed, 0, C1, domain, compat)
+
+    # 3) round 2: remaining counters for the unresolved tail only,
+    # merged ON DEVICE (select-and-set; duplicate pad indices write
+    # identical values, so the scatter is deterministic)
     if C > C1 and not has.all():
-        # np.asarray views of device arrays are read-only; the scatter
-        # merge below needs writable copies
-        jac = jax.tree.map(lambda a: np.array(a, copy=True), jac)
         has = np.array(has, copy=True)
         pending = np.nonzero(~has)[0]
         cap = min(_pow2ceil(len(pending)), max(32, _pow2ceil(B // 16)))
-        for i in range(0, len(pending), cap):
-            chunk = pending[i : i + cap]
-            m = len(chunk)
-            idx = (np.concatenate([chunk, np.full(cap - m, chunk[0])])
-                   if m < cap else chunk)
-            jac2, has2 = _fused_round(
-                crh_u8[idx], ed, C1, C - C1, domain, compat
-            )
-            res = chunk[has2[:m]]
-            src = np.nonzero(has2[:m])[0]
-            jac = jax.tree.map(
-                lambda full, part: _np_scatter(full, res, part[..., src]),
-                jac, jac2,
-            )
-            has[res] = True
+        with stage("h2g.round2"):
+            for i in range(0, len(pending), cap):
+                chunk = pending[i : i + cap]
+                m = len(chunk)
+                idx = (np.concatenate([chunk, np.full(cap - m, chunk[0])])
+                       if m < cap else chunk)
+                jac2, has2 = _fused_round(
+                    crh_u8[idx], ed[idx] if ed.ndim == 2 else ed,
+                    C1, C - C1, domain, compat,
+                )
+                mfn = _JITS.get(("merge", cap))
+                if mfn is None:
+                    from ..utils.aotcache import AotJit
 
-    return jax.tree.map(jnp.asarray, jac), has
+                    def _merge(full, part, idxa, ok):
+                        cur = jax.tree.map(
+                            lambda f: jnp.take(f, idxa, axis=-1), full
+                        )
+                        sel = jax.tree.map(
+                            lambda p, c: jnp.where(ok[None], p, c), part, cur
+                        )
+                        return jax.tree.map(
+                            lambda f, s: f.at[..., idxa].set(s), full, sel
+                        )
 
+                    mfn = _JITS[("merge", cap)] = AotJit(
+                        f"h2g_merge_{cap}", _merge
+                    )
+                jac = mfn(jac, jac2, jnp.asarray(idx.astype(np.int32)),
+                          jnp.asarray(has2))
+                has[chunk[has2[:m]]] = True
 
-def _np_scatter(full, cols, part):
-    full[..., cols] = part
-    return full
+    return jac, has
 
 
 def hash_to_g1_direct_cip22_batch(domain: bytes, messages, extra_data: bytes = b"",

@@ -42,6 +42,8 @@ class NttOps:
         self.root_fn = root_fn
         self._twiddles = lru_cache(maxsize=8)(self._twiddle_table)
         self._coset_cache = {}
+        self._fourstep_tw_cache = {}
+        self._master_dev_cache = {}
 
     def _twiddle_table(self, n: int, inverse: bool):
         """Montgomery-packed powers w^0..w^(n/2-1) of the order-n root."""
@@ -55,12 +57,55 @@ class NttOps:
             acc = acc * w % self.r
         return np.asarray(self.spec.pack(powers))
 
+    def _four_step_split(self, N: int):
+        k = N.bit_length() - 1
+        N1 = 1 << ((k + 1) // 2)
+        return N1, N // N1
+
+    def _four_step_tw(self, N: int, inverse: bool) -> np.ndarray:
+        """Host-precomputed inter-step twiddles for the four-step path:
+        numpy [n, N] with t[j2*N1 + k1] = w^(±j2*k1). Host-built (N
+        geometric-row mulmods, cached) because the on-device alternative
+        is a 2^20-index lane gather — the op class with known axon
+        miscompiles (one wrong lane observed in exactly that
+        formulation)."""
+        key = (N, inverse)
+        if key not in self._fourstep_tw_cache:
+            N1, N2 = self._four_step_split(N)
+            w = self.root_fn(N)
+            if inverse:
+                w = pow(w, -1, self.r)
+            vals = []
+            wj2 = 1  # w^j2
+            for _ in range(N2):
+                acc = 1
+                for _ in range(N1):
+                    vals.append(acc)
+                    acc = acc * wj2 % self.r
+                wj2 = wj2 * w % self.r
+            self._fourstep_tw_cache[key] = np.asarray(self.spec.pack(vals))
+        return self._fourstep_tw_cache[key]
+
     def master_table(self, N: int, inverse: bool):
         """Device twiddle table for a length-N transform — pass as the
         `master` argument of ntt() inside jit so the table is a traced
         INPUT, not a baked HLO literal (a [n, N/2] constant at N=2^20 is
-        tens of MB and overflows the axon remote-compile request)."""
-        return jnp.asarray(self._twiddles(N, inverse))
+        tens of MB and overflows the axon remote-compile request).
+
+        For N at or above the four-step threshold the table is EXTENDED:
+        [n, N/2 + N] = powers || four-step twiddle matrix (ntt() splits
+        it). The device array is cached so repeated prover calls do not
+        re-transfer ~150 MB over the tunnel."""
+        key = (N, inverse)
+        dev = self._master_dev_cache.get(key)
+        if dev is None:
+            base = self._twiddles(N, inverse)
+            if N >= self._GATHER_MIN_N:
+                base = np.concatenate(
+                    [base, self._four_step_tw(N, inverse)], axis=1
+                )
+            dev = self._master_dev_cache[key] = jnp.asarray(base)
+        return dev
 
     # The reshape/strided-slice butterfly below is MISCOMPILED by the axon
     # TPU backend at N >= 2^20 (verified 2026-08-19: stage half=64 writes
@@ -74,31 +119,26 @@ class NttOps:
     # round-4 BW6-Fr NTT ~100x off compute-bound; VERDICT r4 Weak #5).
     _GATHER_MIN_N = 1 << 20
 
-    def _ntt_four_step(self, coeffs, inverse, master):
+    def _ntt_four_step(self, coeffs, inverse, master, tw4):
         """Bailey four-step: X[k1 + N1*k2] = NTT_N2( w_N^(j2*k1) *
         NTT_N1(x[j1*N2 + j2]) ). Sub-transforms run through the batched
         reshape-butterfly path; sub-twiddle tables are strided slices of
         the length-N master (w_N1 = w^N2, w_N2 = w^N1); the inter-step
-        twiddle w^(j2*k1) gathers from the master with STATIC indices and
-        a lazy negation for exponents >= N/2 (w^(N/2) = -1)."""
+        twiddle tw4 [n, N] (t[j2*N1+k1] = w^(j2*k1)) is host-precomputed
+        (master_table) — an on-device 2^20-lane gather from the master
+        produced one wrong lane on the axon backend (dense host-oracle
+        check, round 5)."""
         f = self.f
         n = coeffs.shape[0]
         N = coeffs.shape[-1]
-        k = N.bit_length() - 1
-        N1 = 1 << ((k + 1) // 2)
-        N2 = N // N1
+        N1, N2 = self._four_step_split(N)
         m1 = master[:, ::N2]                  # [n, N1/2] = w_N1 powers
         m2 = master[:, ::N1][:, : N2 // 2]    # [n, N2/2] = w_N2 powers
         x = coeffs.reshape(n, N1, N2)
         # inner transforms over j1 (length N1), one per j2 column
         y = self.ntt(jnp.moveaxis(x, -2, -1), inverse=inverse, master=m1)
-        # twiddle w^(j2*k1); y axes [.., j2, k1]
-        e = np.arange(N2, dtype=np.int64)[:, None] * np.arange(N1)[None, :]
-        idx = (e % (N // 2)).reshape(-1)
-        sign = ((e // (N // 2)) & 1).astype(bool).reshape(-1)
-        tw = jnp.take(master, jnp.asarray(idx), axis=1)
-        tw = jnp.where(jnp.asarray(sign)[None], -tw, tw)  # lazy negate
-        yt = f.mul(y.reshape(n, N), tw).reshape(n, N2, N1)
+        # twiddle w^(j2*k1); y axes [.., j2, k1] — flat index j2*N1 + k1
+        yt = f.mul(y.reshape(n, N), tw4).reshape(n, N2, N1)
         # outer transforms over j2 (length N2), one per k1 row
         z = self.ntt(jnp.moveaxis(yt, -2, -1), inverse=inverse, master=m2)
         # z axes [.., k1, k2]; k = k1 + N1*k2 -> arrange [k2, k1]
@@ -149,14 +189,38 @@ class NttOps:
         N = coeffs.shape[-1]
         lead = coeffs.shape[1:-1]  # leading batch dims (may be empty)
         assert N & (N - 1) == 0
+        large = not lead and N >= self._GATHER_MIN_N and _on_tpu()
+        traced = isinstance(coeffs, jax.core.Tracer)
+        if large and traced and (
+            master is None or master.shape[-1] == N // 2
+        ):
+            # Embedding the ~100MB+ table as an HLO constant through the
+            # axon remote-compile service CORRUPTS it (round-5 dense
+            # host-oracle finding: the identical four-step returned
+            # 2048/2048 wrong outputs with the captured-constant table
+            # and 0/512 wrong with the table as a traced argument).
+            raise ValueError(
+                "large single-batch NTT inside jit requires the EXTENDED "
+                "master table passed as a traced argument: "
+                "master=master_table(N, inverse)"
+            )
         if master is None:
-            master = jnp.asarray(self._twiddles(N, inverse))  # [n, N/2]
-        if not lead and N >= self._GATHER_MIN_N and _on_tpu():
+            master = (
+                self.master_table(N, inverse)
+                if large
+                else jnp.asarray(self._twiddles(N, inverse))  # [n, N/2]
+            )
+        tw4 = None
+        if master.shape[-1] == N // 2 + N:  # extended table (master_table)
+            master, tw4 = master[:, : N // 2], master[:, N // 2 :]
+        if large:
             import os
 
             if os.environ.get("CELO_NTT_LARGE", "fourstep") == "gather":
                 return self._ntt_gather(coeffs, inverse, master)
-            return self._ntt_four_step(coeffs, inverse, master)
+            if tw4 is None:  # eager caller with a plain master
+                tw4 = jnp.asarray(self._four_step_tw(N, inverse))
+            return self._ntt_four_step(coeffs, inverse, master, tw4)
         stages = N.bit_length() - 1
         x = coeffs[..., _bit_reverse_perm(N)]
         bcast = (n, *([1] * len(lead)), N // 2)

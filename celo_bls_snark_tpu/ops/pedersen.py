@@ -139,8 +139,10 @@ def bh_crh_device(messages, Lc: int = 8):
     key = ("bh", N, Lc)
     fn = _JITS.get(key)
     if fn is None:
-        fn = _JITS[key] = jax.jit(
-            lambda t, i, s: _bh_device(t, i, s, Lc)
+        from ..utils.aotcache import AotJit
+
+        fn = _JITS[key] = AotJit(
+            f"bh_crh_{N}_{Lc}", lambda t, i, s: _bh_device(t, i, s, Lc)
         )
     return fn(table, jnp.asarray(idx), jnp.asarray(sign))
 

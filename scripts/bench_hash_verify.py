@@ -65,16 +65,26 @@ def main():
     # eagerly dispatches every Miller-loop primitive separately over the
     # device tunnel (this was the round-3 regression: 29.4 verifs/s came
     # from eager dispatch latency, not compute)
-    pair_fn = jax.jit(
-        lambda s, h, pk: dbls.batch_verify_grouped_device(s, h, pk, groups=1)
+    def pair_fn(s, h, pk):
+        return dbls.batch_verify_grouped_aot(s, h, pk, 1)
+
+    from celo_bls_snark_tpu.utils.profiling import (
+        device_sync, report, reset, stage,
     )
 
+    profile = os.environ.get("BENCH_HASH_PROFILE") == "1"
+
     def verify_with_hashing():
-        hashes_jac, has = hash_to_g1_device(SIG_DOMAIN, msgs, b"",
-                                            compat=True, num_counters=24)
+        with stage("bench.hash"):
+            hashes_jac, has = hash_to_g1_device(SIG_DOMAIN, msgs, b"",
+                                                compat=True, num_counters=24)
+            if profile:
+                device_sync(hashes_jac)
         assert has.all(), "fallback lane in bench batch"
-        ok = pair_fn(sigs_jac, hashes_jac, apk_aff)
-        return bool(np.asarray(ok)[0])
+        with stage("bench.pairing"):
+            ok = pair_fn(sigs_jac, hashes_jac, apk_aff)
+            out = bool(np.asarray(ok)[0])
+        return out
 
     # warmup (compiles all stages) + correctness
     ok = verify_with_hashing()
@@ -82,6 +92,7 @@ def main():
         raise RuntimeError("hashing-included verification failed")
 
     n_iter = 3
+    reset()
     t0 = time.perf_counter()
     for _ in range(n_iter):
         ok = verify_with_hashing()
@@ -89,6 +100,11 @@ def main():
     if not ok:
         raise RuntimeError("hashing-included verification failed (timed)")
     rate = B / dt
+    if profile:
+        print("--- stage breakdown (over %d iters) ---" % n_iter)
+        for name, ent in sorted(report().items()):
+            if "total_s" in ent:
+                print(f"{name:24s} {ent['total_s']:8.2f}s  x{ent['calls']}")
 
     print(json.dumps({
         "metric": "bls12377_verifications_per_s_hashing_included",

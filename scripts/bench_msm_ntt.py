@@ -149,8 +149,13 @@ def bench_ntt(lg, reps=5, field="bls_fr"):
     # twiddle tables as traced args, not baked literals (axon 413 limit)
     m_fwd = nttops.master_table(N, False)
     m_inv = nttops.master_table(N, True)
-    fwd_fn = jax.jit(lambda v, m: nttops.ntt(v, master=m))
-    inv_fn = jax.jit(lambda v, m: nttops.ntt(v, inverse=True, master=m))
+    # same AOT tags + shapes as the prover's h-poly programs
+    from celo_bls_snark_tpu.utils.aotcache import AotJit
+
+    eng = "bls12_377" if field == "bls_fr" else "bw6_761"
+    fwd_fn = AotJit(f"ntt_f_{eng}", lambda v, m: nttops.ntt(v, master=m))
+    inv_fn = AotJit(f"ntt_i_{eng}",
+                    lambda v, m: nttops.ntt(v, inverse=True, master=m))
     fwd = lambda v: fwd_fn(v, m_fwd)
     inv = lambda v: inv_fn(v, m_inv)
     y = fwd(x)

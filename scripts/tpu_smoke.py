@@ -48,17 +48,25 @@ def _ok(name):
 
 def check_ntt():
     from celo_bls_snark_tpu.ops import ntt as dntt
+    from celo_bls_snark_tpu.utils.aotcache import AotJit
 
     N = 1 << LG_NTT
     random.seed(101)
-    for label, ops, r in (
-        ("ntt_fr (BLS12-377 Fr)", dntt.ntt_fr, dntt.R),
-        ("ntt_bw6 (BW6-761 Fr)", dntt.ntt_bw6, dntt.P),
+    for label, ops, r, eng in (
+        ("ntt_fr (BLS12-377 Fr)", dntt.ntt_fr, dntt.R, "bls12_377"),
+        ("ntt_bw6 (BW6-761 Fr)", dntt.ntt_bw6, dntt.P, "bw6_761"),
     ):
         vals = [random.randrange(r) for _ in range(N)]
         x = jnp.asarray(ops.spec.pack(vals))
-        fwd = ops.ntt(x)
-        back = ops.ntt(fwd, inverse=True)
+        # same tags + shapes as the prover's h-poly programs
+        # (snark/accel.py _ensure_h_jits): the smoke run exercises and/or
+        # populates the EXACT production executables in the AOT cache
+        fwd_fn = AotJit(f"ntt_f_{eng}",
+                        lambda v, m, o=ops: o.ntt(v, master=m))
+        inv_fn = AotJit(f"ntt_i_{eng}",
+                        lambda v, m, o=ops: o.ntt(v, inverse=True, master=m))
+        fwd = fwd_fn(x, ops.master_table(N, False))
+        back = inv_fn(fwd, ops.master_table(N, True))
         jax.block_until_ready(back)
         # full round-trip equality + spot-check 4 forward outputs vs a
         # direct host evaluation of the DFT sum
@@ -125,9 +133,8 @@ def check_pairing():
     sigs_jac = jax.tree.map(jnp.asarray, dc.g1_pack(sigs))
     hashes_jac = jax.tree.map(jnp.asarray, dc.g1_pack(hashes))
     apk_aff = jax.tree.map(jnp.asarray, dbls.pack_g2_affine([apk.pt]))
-    fn = jax.jit(
-        lambda s, h, pk: dbls.batch_verify_grouped_device(s, h, pk, groups=1)
-    )
+    def fn(s, h, pk):
+        return dbls.batch_verify_grouped_aot(s, h, pk, 1)
     ok = bool(np.asarray(fn(sigs_jac, hashes_jac, apk_aff))[0])
     assert ok, "valid batched pairing check rejected"
     # forge one signature: swap lanes 0 and 1

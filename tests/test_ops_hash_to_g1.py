@@ -97,3 +97,49 @@ def test_round2_merge_path():
         host.hash_with_attempt_cip22(SIG_DOMAIN, m, b"")[0] for m in msgs
     ]
     assert got == expected
+
+
+def test_per_message_extra_data_and_device_batch_verify():
+    """Round-5 additions: per-message extra_data through the device
+    pipeline, and the full batch_verify-with-hashing device entry
+    (ops/bls.py batch_verify_messages_device — the reference's
+    Signature::batch_verify semantics, signature.rs:101-117)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from celo_bls_snark_tpu.bls import PrivateKey, PublicKey
+    from celo_bls_snark_tpu.hostmath.params import R
+    from celo_bls_snark_tpu.hostmath import curves as hc
+    from celo_bls_snark_tpu.utils.rngs import XorShiftRng
+    from celo_bls_snark_tpu.ops.hash_to_g1 import hash_to_g1_device
+    from celo_bls_snark_tpu.ops import bls as dbls, curve as dc
+    from celo_bls_snark_tpu.ops.field import FQ
+
+    B = 16
+    msgs = [b"m %06d" % i for i in range(B)]
+    extras = [b"e %04d" % i for i in range(B)]
+    h2c = TryAndIncrementCIP22(DirectHasher(), "g1", True)
+    exp = [h2c.hash(SIG_DOMAIN, m, e) for m, e in zip(msgs, extras)]
+    jac, has = hash_to_g1_device(
+        SIG_DOMAIN, msgs, extras, compat=True, num_counters=24
+    )
+    assert has.all()
+    assert dc.unpack_jac(dc.g1, FQ, jac) == exp
+
+    rng = XorShiftRng(b"devmsgverify0001")
+    sks = [PrivateKey.generate(rng) for _ in range(5)]
+    apk = PublicKey.aggregate([sk.to_public() for sk in sks])
+    sk_sum = sum(sk.sk for sk in sks) % R
+    sigs = [hc.G1.mul(sk_sum, h) for h in exp]
+    sigs_jac = jax.tree.map(jnp.asarray, dc.g1_pack(sigs))
+    apk_aff = jax.tree.map(jnp.asarray, dbls.pack_g2_affine([apk.pt]))
+    ok = dbls.batch_verify_messages_device(
+        sigs_jac, apk_aff, SIG_DOMAIN, msgs, extras, groups=1
+    )
+    assert bool(np.asarray(ok)[0])
+    bad = jax.tree.map(lambda x: x.at[..., 0].set(x[..., 1]), sigs_jac)
+    bad_ok = dbls.batch_verify_messages_device(
+        bad, apk_aff, SIG_DOMAIN, msgs, extras, groups=1
+    )
+    assert not bool(np.asarray(bad_ok)[0])
