@@ -320,6 +320,162 @@ def _make_pallas_mul(spec: "FieldSpec"):
     return mul
 
 
+def _make_pallas_mul_mxu(spec: "FieldSpec", interpret: bool = False):
+    """Montgomery multiply with the REDUCTION on the MXU.
+
+    Separated Montgomery form: T = a*b (per-lane, VPU);
+    m = (T mod R) * N' mod R and m*p are products with a SHARED CONSTANT
+    operand (N' = -p^-1 mod R and p), so they run as bf16 matmuls over
+    8-bit limb pieces on the systolic array — exactly (pieces <= 255 are
+    exact in bf16; products <= 255^2 with <= 2n <= 98 accumulation terms
+    stay < 2^24, the f32 mantissa). Only the n^2 per-lane a*b MACs stay
+    on the VPU: ~2x fewer vector ops per multiply than the fused CIOS
+    kernel for the 761-bit field, with the reduction riding the
+    otherwise-idle MXU.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = spec.n
+    off_limbs = [int(x) for x in spec.offset_limbs]
+    n2 = 2 * n
+
+    def pieces8(v16: int, count: int):
+        return [(v16 >> (8 * k)) & 0xFF for k in range(count)]
+
+    # weight matrices over 8-bit pieces (bf16, tiny constants)
+    np8 = []
+    for l in spec.nprime_limbs:
+        np8 += pieces8(int(l), 2)
+    p8 = []
+    for l in spec.p_limbs:
+        p8 += pieces8(int(l), 2)
+    # W1[k, i] = n'8[k - i] for k < 2n (low product only: mod R)
+    W1 = np.zeros((n2, n2), dtype=np.float32)
+    for k in range(n2):
+        for i in range(n2):
+            if 0 <= k - i < n2:
+                W1[k, i] = np8[k - i]
+    # W2[k, i] = p8[k - i], full product (k < 4n)
+    W2 = np.zeros((2 * n2, n2), dtype=np.float32)
+    for k in range(2 * n2):
+        for i in range(n2):
+            if 0 <= k - i < n2:
+                W2[k, i] = p8[k - i]
+    W1 = W1.astype(np.float32)
+    W2 = W2.astype(np.float32)
+
+    def kernel(a_ref, b_ref, w1_ref, w2_ref, o_ref):
+        blk = a_ref.shape[1]
+        s = blk // 128
+
+        def normalize(ref):
+            x = ref[...].reshape(n, s, 128)
+            out = []
+            carry = jnp.zeros((s, 128), jnp.int32)
+            for k in range(n):
+                v = x[k] + np.int32(off_limbs[k]) + carry
+                carry = v >> LIMB_BITS
+                out.append((v - (carry << LIMB_BITS)).astype(jnp.uint32))
+            return out
+
+        a = normalize(a_ref)
+        b = normalize(b_ref)
+        z = jnp.zeros((s, 128), jnp.uint32)
+        # phase A (VPU): 16-bit-radix column sums of a*b, 2n+1 columns
+        t = [z] * (n2 + 1)
+        for i in range(n):
+            ai = a[i]
+            for j in range(n):
+                prod = ai * b[j]
+                t[i + j] = t[i + j] + (prod & LIMB_MASK)
+                t[i + j + 1] = t[i + j + 1] + (prod >> LIMB_BITS)
+        # normalize the LOW n columns to canonical 16-bit limbs (T mod R)
+        tlow = []
+        carry = z
+        for k in range(n):
+            v = t[k] + carry
+            tlow.append(v & LIMB_MASK)
+            carry = v >> LIMB_BITS
+        t[n] = t[n] + carry  # fold the low-half carry into column n
+        t[:n] = tlow  # the ripple below must see the NORMALIZED lows
+        # (using the raw columns would double-count the folded carry)
+
+        def to_pieces_bf16(limbs16):
+            # n canonical 16-bit limbs -> [2n, blk] bf16 8-bit pieces.
+            # Mosaic has no u32->bf16 cast; go via int32 -> f32 -> bf16
+            # (all values <= 255, every step exact).
+            rows = []
+            for v in limbs16:
+                for piece in (v & 0xFF, v >> 8):
+                    rows.append(
+                        piece.astype(jnp.int32)
+                        .astype(jnp.float32)
+                        .astype(jnp.bfloat16)
+                    )
+            return jnp.stack(rows).reshape(n2, blk)
+
+        def matmul_u32(W, X):
+            out = jax.lax.dot_general(
+                W, X, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # f32 -> i32 is exact here (integer values < 2^24)
+            return out.astype(jnp.int32).astype(jnp.uint32)
+
+        # phase B (MXU): m = (T mod R) * N' mod R
+        w1 = w1_ref[...].astype(jnp.bfloat16)
+        w2 = w2_ref[...].astype(jnp.bfloat16)
+        m8 = matmul_u32(w1, to_pieces_bf16(tlow))  # [2n, blk] radix-2^8
+        m8 = m8.reshape(n2, s, 128)
+        m16 = []
+        carry = z
+        for j in range(n):
+            v = m8[2 * j] + (m8[2 * j + 1] << 8) + carry
+            m16.append(v & LIMB_MASK)
+            carry = v >> LIMB_BITS
+        # carry beyond n limbs is dropped: m is mod R by construction
+        # phase C (MXU): m * p, full product in 16-bit-radix columns
+        mp8 = matmul_u32(w2, to_pieces_bf16(m16))  # [4n, blk]
+        mp8 = mp8.reshape(2 * n2, s, 128)
+        # final: (T + m*p) / R with one ripple over 2n+1 columns
+        out = []
+        carry = z
+        for k in range(n2 + 1):
+            v = t[k] + carry
+            if 2 * k < 2 * n2:
+                v = v + mp8[2 * k]
+            if 2 * k + 1 < 2 * n2:
+                v = v + (mp8[2 * k + 1] << 8)
+            carry = v >> LIMB_BITS
+            if k >= n:
+                out.append((v & LIMB_MASK).astype(jnp.int32))
+        # columns n..2n-1 hold (T + m*p)/R < 2p; column 2n rippled to 0
+        o_ref[...] = jnp.stack(out[:n]).reshape(n, blk)
+
+    def mul(a, b):
+        B = a.shape[-1]
+        cap = _PALLAS_MAX_BLK if n <= 32 else _PALLAS_MAX_BLK // 4
+        blk = B if B <= cap else cap
+        while B % blk:
+            blk //= 2
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, B), jnp.int32),
+            grid=(B // blk,),
+            in_specs=[
+                pl.BlockSpec((n, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(W1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(W2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(a, b, jnp.asarray(W1), jnp.asarray(W2))
+
+    return mul
+
+
 def _make_pallas_redc(spec: "FieldSpec"):
     """Montgomery-reduction-only kernel: lazy x -> canonical limbs of
     x * R^-1 mod p, value < 2p. HALF a multiply (no a*b phase) — serves
@@ -475,7 +631,13 @@ def make_field_ops(spec: FieldSpec):
                 a = jnp.pad(a, ((0, 0), (0, pad)))
                 b = jnp.pad(b, ((0, 0), (0, pad)))
             if not pallas_mul_holder:
-                pallas_mul_holder.append(_make_pallas_mul(spec))
+                import os
+
+                use_mxu = os.environ.get("CELO_MUL_MXU", "0") == "1"
+                pallas_mul_holder.append(
+                    _make_pallas_mul_mxu(spec) if use_mxu
+                    else _make_pallas_mul(spec)
+                )
             out = pallas_mul_holder[0](a, b)
             return out[:, :B] if pad else out
         return mul_conv(a, b)

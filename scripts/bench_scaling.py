@@ -46,7 +46,10 @@ def main():
     from celo_bls_snark_tpu.ops import ntt as dntt
     from celo_bls_snark_tpu.parallel import mesh as pmesh
 
-    log_msm = int(sys.argv[1]) if len(sys.argv) > 1 else 18
+    # CPU-mesh-affordable defaults: the conv-path field mul is ~100x the
+    # TPU kernel, so sizes are chosen to finish in minutes while still
+    # being >=64 points per device at D=8
+    log_msm = int(sys.argv[1]) if len(sys.argv) > 1 else 14
     log_ntt = int(sys.argv[2]) if len(sys.argv) > 2 else 18
     Bm = 1 << log_msm
     Bn = 1 << log_ntt
