@@ -364,7 +364,11 @@ def hash_to_g1_device(domain: bytes, messages, extra_data: bytes = b"",
     # 2) round 1: counters [0, C1) for every message, fully fused
     from ..utils.profiling import stage
 
-    C1 = min(int(os.environ.get("CELO_H2G_ROUND1", "8")), C)
+    # round-1 counter width: per-candidate cost is dominated by the
+    # Legendre exponentiation over C1*B lanes; with miss prob 0.58 the
+    # two-round lane cost C1 + 0.58^C1*(C-C1) minimizes at C1~5
+    # (6.25*B vs 8.2*B at the round-4 default of 8)
+    C1 = min(int(os.environ.get("CELO_H2G_ROUND1", "5")), C)
     with stage("h2g.round1"):
         jac, has = _fused_round(crh_u8, ed, 0, C1, domain, compat)
 

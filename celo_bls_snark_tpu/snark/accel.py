@@ -184,11 +184,15 @@ class DeviceAccel:
             from ..utils.aotcache import AotJit
 
             f, nttops = self.fops, self.nttops
-            # the two NTT programs dominate the fresh-process compile;
-            # AotJit loads their serialized executables in ~1 s instead
+            # EVERY program goes through the AOT executable cache — the
+            # axon compile service charges ~30-200s (highly variable)
+            # even for small pointwise programs, and a fresh process
+            # used to pay 3-4 of those inside h_poly.device (round-5
+            # final3: 680s first h-poly on all-AOT-hit NTTs, all of it
+            # plain-jit compiles of from_raw/mul/combine)
             self._h_jit["split"] = {
-                "from_raw": jax.jit(f.from_raw),
-                "mul": jax.jit(f.mul),
+                "from_raw": AotJit(f"hp_fromraw_{self.name}", f.from_raw),
+                "mul": AotJit(f"hp_mul_{self.name}", f.mul),
                 "ntt_f": AotJit(
                     f"ntt_f_{self.name}",
                     lambda x, m: nttops.ntt(x, master=m),
@@ -199,14 +203,16 @@ class DeviceAccel:
                 ),
                 # final Montgomery-strip with a device-side uint16 cast:
                 # halves the D2H bytes on the ~8-16 MB/s axon tunnel
-                "to_raw16": jax.jit(
-                    lambda x: f.to_raw(x).astype(jnp.uint16)
+                "to_raw16": AotJit(
+                    f"hp_toraw16_{self.name}",
+                    lambda x: f.to_raw(x).astype(jnp.uint16),
                 ),
-                "combine": jax.jit(
+                "combine": AotJit(
+                    f"hp_combine_{self.name}",
                     lambda ae, be, ce, ti: f.mul(
                         f.sub(f.mul(ae, be), ce),
                         jnp.broadcast_to(ti, ae.shape),
-                    )
+                    ),
                 ),
             }
         return self._h_jit["split"]
@@ -238,9 +244,16 @@ class DeviceAccel:
         m_fwd = nttops.master_table(d, False)
         m_inv = nttops.master_table(d, True)
         x0 = jnp.zeros((spec.n, d), jnp.int32)
+        ti0 = spec.const(1, (1,))
         jobs = [
             lambda: jax.block_until_ready(J["ntt_f"](x0, m_fwd)),
             lambda: jax.block_until_ready(J["ntt_i"](x0, m_inv)),
+            # the pointwise programs too: each is ~30-200s of compile
+            # service latency on a fresh fleet otherwise
+            lambda: jax.block_until_ready(J["from_raw"](x0)),
+            lambda: jax.block_until_ready(J["mul"](x0, x0)),
+            lambda: jax.block_until_ready(J["to_raw16"](x0)),
+            lambda: jax.block_until_ready(J["combine"](x0, x0, x0, ti0)),
         ]
         seen = set()
         for grp, B0 in (
